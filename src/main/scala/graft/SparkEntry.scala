@@ -1,13 +1,51 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{GraphQueries => G, PipelineQueries => P, OracleSql}
+
+/**
+ * Driver contract (see SURVEY.md §7 + builder prompt): `queries` maps
+ * every implemented operator to a DataFrame job over the testdata dir;
+ * `oracleSql` carries the DuckDB-checkable equivalent (OracleSql recomputes
+ * the whole pipeline — ingest, edge derivation, algorithm — independently).
+ * Entries without SQL (xxhash/murmur-based, approximate, or Map-shaped
+ * results) get the driver's weaker rows-only check.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: WCC over the repo link graph derived from sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    G.wcc(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // graph engine (oracle-checked end to end)
+    "ingest_sha" -> (G.ingestSha _),
+    "graph_edges" -> (G.graphEdges _),
+    "graph_degree" -> (G.degree _),
+    "degree_centrality" -> (G.degreeCentralityWeighted _),
+    "pagerank" -> (G.pagerank _),
+    "pagerank_weighted" -> (G.pagerankWeighted _),
+    "wcc" -> (G.wcc _),
+    "wcc_consecutive" -> (G.wccConsecutive _),
+    "lpa" -> (G.lpa _),
+    "triangle_count" -> (G.triangleCount _),
+    "lcc" -> (G.lcc _),
+    "node_similarity" -> (G.nodeSimilarity _),
+    "bfs" -> (G.bfs _),
+    // training-data pipeline (oracle-checked)
+    "dedup_exact" -> (P.dedupExact _),
+    "dedup_minhash" -> (P.dedupMinhash _),
+    "text_tokens" -> (P.textTokens _),
+    "text_quality" -> (P.textQuality _),
+    "lang_id" -> (P.langId _),
+    "ann_cosine" -> (P.annCosine _),
+    // rows-only (non-portable hashing / approximate)
+    "dedup_simhash" -> (P.dedupSimhash _),
+    "dedup_ngram_pairs" -> (P.dedupNgramPairs _),
+    "dedup_lsh_pairs" -> (P.dedupLshPairs _),
+    "knn_lsh" -> (P.knnLsh _),
+    "doc_fingerprint" -> (P.fingerprint _),
+    "multimodal_features" -> (P.multimodal _))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

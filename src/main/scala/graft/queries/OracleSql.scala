@@ -1,0 +1,271 @@
+package graft.queries
+
+/**
+ * ANSI-ish SQL equivalents of every query in SparkEntry.queries, runnable
+ * by DuckDB over the same parquet tables (lineitem / documents /
+ * embeddings). Each one recomputes the ENTIRE pipeline — code_files
+ * derivation, windowed edge generation, and the algorithm itself (PageRank
+ * unrolled, WCC/BFS as recursive CTEs) — fully independently of Spark.
+ *
+ * Determinism contract with the Spark side:
+ *  - repos are zero-padded so lexicographic order == dense-id order;
+ *  - all tie-breaks are total orders ((weight desc, label asc) etc.);
+ *  - doubles are produced by identical formula shapes and rounded to 6
+ *    decimals on both sides.
+ */
+object OracleSql {
+
+  val cap = GraphQueries.WindowCap
+
+  /** code_files + edge derivation + undirected views (shared prefix). */
+  val graphCte: String = s"""
+WITH RECURSIVE cf AS (
+  SELECT 'r' || lpad(CAST(l_partkey AS VARCHAR), 6, '0') AS repo,
+         's' || CAST(l_suppkey AS VARCHAR) || '/f' || CAST(l_partkey % 64 AS VARCHAR) AS path,
+         CAST(l_orderkey AS VARCHAR) AS commit_g,
+         CASE WHEN l_returnflag = 'A' THEN 'scala'
+              WHEN l_returnflag = 'R' THEN 'java' ELSE 'py' END AS lang,
+         '// ' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+           || ' p' || CAST(l_partkey AS VARCHAR) || ' s' || CAST(l_suppkey AS VARCHAR) AS content
+  FROM lineitem),
+cg AS (SELECT DISTINCT commit_g AS g, repo AS r FROM cf),
+cn AS (SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r) AS rn FROM cg),
+ce AS (SELECT a.r AS src, b.r AS dst FROM cn a JOIN cn b
+       ON a.g = b.g AND b.rn > a.rn AND b.rn <= a.rn + $cap),
+pg AS (SELECT DISTINCT path AS g, repo AS r FROM cf),
+pn AS (SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r) AS rn FROM pg),
+pe AS (SELECT a.r AS src, b.r AS dst FROM pn a JOIN pn b
+       ON a.g = b.g AND b.rn > a.rn AND b.rn <= a.rn + $cap),
+edges AS (
+  SELECT src, dst, 'co_commit' AS type, CAST(count(*) AS DOUBLE) AS weight
+  FROM ce GROUP BY src, dst
+  UNION ALL
+  SELECT src, dst, 'shared_path' AS type, CAST(count(*) AS DOUBLE) AS weight
+  FROM pe GROUP BY src, dst),
+nodes AS (SELECT DISTINCT repo AS id FROM cf),
+eu AS (SELECT DISTINCT src, dst FROM
+       (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges) t),
+es AS (SELECT src, dst FROM edges GROUP BY src, dst),
+du AS (SELECT src AS id, count(*) AS d FROM eu GROUP BY src),
+ew AS (SELECT src, dst, sum(weight) AS w FROM
+       (SELECT src, dst, weight FROM edges
+        UNION ALL SELECT dst AS src, src AS dst, weight FROM edges) t GROUP BY src, dst),
+wdeg AS (SELECT src AS id, sum(w) AS wd FROM ew GROUP BY src)"""
+
+  val ingestSha: String = graphCte + """
+SELECT repo, path, commit_g AS "commit", lang, sha256(content) AS content_sha256 FROM cf"""
+
+  val graphEdges: String = graphCte + """
+SELECT src AS src_repo, dst AS dst_repo, type, weight FROM edges"""
+
+  val degree: String = graphCte + """
+SELECT n.id AS repo, coalesce(du.d, 0) AS degree
+FROM nodes n LEFT JOIN du ON du.id = n.id"""
+
+  val degreeCentralityWeighted: String = graphCte + """
+SELECT n.id AS repo, round(coalesce(s.w, 0.0), 6) AS score
+FROM nodes n LEFT JOIN
+  (SELECT src, sum(weight) AS w FROM edges GROUP BY src) s ON s.src = n.id"""
+
+  /** Classic-form PageRank unrolled `iters` times: r0 = 0.15,
+   *  r_{t+1}(v) = 0.15 + 0.85 Σ_{u→v} r_t(u)/deg(u) — proven identical to
+   *  the engine's GDS delta form (init 1−d, score += d·Σ delta/deg). */
+  private def prUnrolled(iters: Int, weighted: Boolean): String = {
+    val steps = (1 to iters).map { t =>
+      val prev = s"r${t - 1}"
+      val inner =
+        if (weighted)
+          s"""SELECT e.dst AS id, sum(r.rank * e.w / wd.wd) AS m
+             FROM ew e JOIN $prev r ON r.id = e.src JOIN wdeg wd ON wd.id = e.src
+             GROUP BY e.dst"""
+        else
+          s"""SELECT e.dst AS id, sum(r.rank / dd.d) AS m
+             FROM eu e JOIN $prev r ON r.id = e.src JOIN du dd ON dd.id = e.src
+             GROUP BY e.dst"""
+      s"""r$t AS (SELECT n.id, 0.15 + 0.85 * coalesce(s.m, 0.0) AS rank
+         FROM r0_base n LEFT JOIN ($inner) s ON s.id = n.id)"""
+    }.mkString(",\n")
+    s""",
+r0_base AS (SELECT id FROM nodes),
+r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes),
+$steps
+SELECT id AS repo, round(rank, 6) AS score FROM r$iters"""
+  }
+
+  val pagerank: String = graphCte + prUnrolled(5, weighted = false)
+  val pagerankWeighted: String = graphCte + prUnrolled(5, weighted = true)
+
+  val wcc: String = graphCte + """,
+reach AS (SELECT id, id AS comp FROM nodes
+          UNION
+          SELECT e.dst AS id, r.comp FROM reach r JOIN eu e ON e.src = r.id)
+SELECT id AS repo, min(comp) AS component_repo FROM reach GROUP BY id"""
+
+  val wccConsecutive: String = graphCte + """,
+reach AS (SELECT id, id AS comp FROM nodes
+          UNION
+          SELECT e.dst AS id, r.comp FROM reach r JOIN eu e ON e.src = r.id),
+comp AS (SELECT id, min(comp) AS c FROM reach GROUP BY id)
+SELECT id AS repo, CAST(dense_rank() OVER (ORDER BY c) - 1 AS BIGINT) AS component
+FROM comp"""
+
+  /** Two synchronous LPA iterations; vote = Σ edge weight per neighbor
+   *  label, tie → smaller label. */
+  val lpa: String = graphCte + """,
+l0 AS (SELECT id, id AS label FROM nodes),
+v1 AS (SELECT e.src AS id, l.label AS label, sum(e.w) AS wt
+       FROM ew e JOIN l0 l ON l.id = e.dst GROUP BY e.src, l.label),
+p1 AS (SELECT id, label, row_number() OVER
+        (PARTITION BY id ORDER BY wt DESC, label ASC) AS rk FROM v1),
+l1 AS (SELECT n.id, coalesce(p.label, n.label) AS label FROM l0 n
+       LEFT JOIN (SELECT id, label FROM p1 WHERE rk = 1) p ON p.id = n.id),
+v2 AS (SELECT e.src AS id, l.label AS label, sum(e.w) AS wt
+       FROM ew e JOIN l1 l ON l.id = e.dst GROUP BY e.src, l.label),
+p2 AS (SELECT id, label, row_number() OVER
+        (PARTITION BY id ORDER BY wt DESC, label ASC) AS rk FROM v2),
+l2 AS (SELECT n.id, coalesce(p.label, n.label) AS label FROM l1 n
+       LEFT JOIN (SELECT id, label FROM p2 WHERE rk = 1) p ON p.id = n.id)
+SELECT id AS repo, label AS label_repo FROM l2"""
+
+  private val triCorners: String = """
+tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM es a JOIN es b ON b.src = a.dst
+        JOIN es c ON c.src = a.src AND c.dst = b.dst),
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+tcnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id)"""
+
+  val triangleCount: String = graphCte + "," + triCorners + """
+SELECT n.id AS repo, coalesce(tc.t, 0) AS triangles
+FROM nodes n LEFT JOIN tcnt tc ON tc.id = n.id"""
+
+  val lcc: String = graphCte + "," + triCorners + """
+SELECT n.id AS repo,
+       round(CASE WHEN coalesce(du.d, 0) < 2 THEN 0.0
+             ELSE 2.0 * coalesce(tc.t, 0) / (du.d * (du.d - 1.0)) END, 6) AS coefficient
+FROM nodes n LEFT JOIN du ON du.id = n.id LEFT JOIN tcnt tc ON tc.id = n.id"""
+
+  val nodeSimilarity: String = graphCte + """,
+inter AS (SELECT l.src AS a, r.src AS b, count(*) AS i
+          FROM eu l JOIN eu r ON l.dst = r.dst AND l.src <> r.src
+          GROUP BY l.src, r.src),
+sim AS (SELECT a, b, CAST(i AS DOUBLE) / (da.d + db.d - i) AS s
+        FROM inter JOIN du da ON da.id = a JOIN du db ON db.id = b),
+ranked AS (SELECT a, b, s, row_number() OVER
+            (PARTITION BY a ORDER BY s DESC, b ASC) AS rank
+           FROM sim WHERE s >= 1e-42)
+SELECT a AS repo1, b AS repo2, round(s, 6) AS similarity, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+  val bfs: String = graphCte + """,
+src0 AS (SELECT min(id) AS s FROM nodes),
+reach AS (SELECT s AS id, 0 AS lvl FROM src0
+          UNION
+          SELECT e.dst AS id, r.lvl + 1 AS lvl FROM reach r
+          JOIN eu e ON e.src = r.id WHERE r.lvl < 15)
+SELECT id AS repo, CAST(min(lvl) AS BIGINT) AS level FROM reach GROUP BY id"""
+
+  // ------------------------------------------------------------------
+  // pipeline oracles (documents / embeddings)
+  // ------------------------------------------------------------------
+
+  val dedupExact: String = """
+WITH d AS (SELECT doc_id, sha256(text) AS digest FROM documents),
+c AS (SELECT digest, min(doc_id) AS canonical_id FROM d GROUP BY digest)
+SELECT d.doc_id, c.canonical_id, d.digest FROM d JOIN c ON c.digest = d.digest"""
+
+  val textTokens: String = """
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))
+     + len(list_filter(regexp_split_to_array(text, '[a-zA-Z0-9\s]+'), x -> len(x) > 0)) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+  val textQuality: String = """
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS DOUBLE) AS nchars,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS ntok,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) > 0) AS atoks
+  FROM documents),
+m AS (
+  SELECT doc_id, nchars, ntok,
+    (nchars - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / greatest(nchars, 1.0) AS alpha,
+    (nchars - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) / greatest(nchars, 1.0) AS punct,
+    CASE WHEN len(atoks) > 0 THEN
+      CAST(len(list_filter(atoks, x -> list_contains(['the','of','and','to','in','a','is','that','it','was','for','on','are','with','as'], x))) AS DOUBLE) / len(atoks)
+    ELSE 0.0 END AS stop,
+    CASE WHEN ntok > 0 THEN (nchars - ntok + 1) / ntok ELSE 0.0 END AS mwl
+  FROM base)
+SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+  round(alpha, 6) AS alpha_ratio, round(punct, 6) AS punct_ratio,
+  round(stop, 6) AS stop_ratio,
+  round((CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 ELSE 0.3 END) * 0.25
+      + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.4 END) * 0.15
+      + least(alpha * 1.5, 1.0) * 0.3
+      + (1.0 - least(punct * 5, 1.0)) * 0.1
+      + least(stop * 4, 1.0) * 0.2, 6) AS quality
+FROM m"""
+
+  val langId: String = """
+WITH toks AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'), x -> len(x) > 0) AS t
+  FROM documents),
+sc AS (
+  SELECT doc_id, 'en' AS lang, len(list_filter(t, x -> list_contains(['the','and','of','to','is','that','with'], x))) AS hits FROM toks
+  UNION ALL
+  SELECT doc_id, 'de', len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit'], x))) FROM toks
+  UNION ALL
+  SELECT doc_id, 'fr', len(list_filter(t, x -> list_contains(['le','la','les','et','est','dans','pour'], x))) FROM toks
+  UNION ALL
+  SELECT doc_id, 'es', len(list_filter(t, x -> list_contains(['el','la','los','que','es','para','con'], x))) FROM toks),
+best AS (SELECT doc_id, lang, hits, row_number() OVER
+          (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rk FROM sc)
+SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS detected_lang,
+       CAST(hits AS BIGINT) AS marker_hits
+FROM best WHERE rk = 1"""
+
+  val annCosine: String = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 2000),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        list_inner_product(a.e, b.e) /
+        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS c
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+r AS (SELECT a, b, c, row_number() OVER (PARTITION BY a ORDER BY c DESC, b ASC) AS rank FROM p)
+SELECT a, b, round(c, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
+
+  /** MinHash signatures (first 4 hash lanes) over word 3-shingles —
+   *  string-min of sha256('lane:' || shingle), portable across engines. */
+  val minhash: String = """
+WITH toks AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+  FROM documents),
+sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) gs),
+mh AS (SELECT doc_id,
+         min(sha256('0:' || g)) AS h0, min(sha256('1:' || g)) AS h1,
+         min(sha256('2:' || g)) AS h2, min(sha256('3:' || g)) AS h3
+       FROM sh GROUP BY doc_id)
+SELECT doc_id, h0, h1, h2, h3 FROM mh"""
+
+  val all: Map[String, String] = Map(
+    "ingest_sha" -> ingestSha,
+    "graph_edges" -> graphEdges,
+    "graph_degree" -> degree,
+    "degree_centrality" -> degreeCentralityWeighted,
+    "pagerank" -> pagerank,
+    "pagerank_weighted" -> pagerankWeighted,
+    "wcc" -> wcc,
+    "wcc_consecutive" -> wccConsecutive,
+    "lpa" -> lpa,
+    "triangle_count" -> triangleCount,
+    "lcc" -> lcc,
+    "node_similarity" -> nodeSimilarity,
+    "bfs" -> bfs,
+    "dedup_exact" -> dedupExact,
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "lang_id" -> langId,
+    "ann_cosine" -> annCosine,
+    "dedup_minhash" -> minhash)
+}

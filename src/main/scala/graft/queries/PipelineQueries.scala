@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-facing training-data pipeline queries over documents/embeddings.
+ * Output shapes/rounding match OracleSql exactly (column names included —
+ * the driver's compare hashes values sorted by column name).
+ */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir))
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws_tokens"),
+      TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"))
+  }
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(spark, dir))
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(docs(spark, dir))
+      .select(col("doc_id"), col("detected_lang"),
+        col("marker_hits").cast("long").as("marker_hits"))
+
+  def annCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(embs(spark, dir).where(col("vec_id") < 2000), k = 5)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignature(col("text"), k = 3, numHashes = 4)
+    docs(spark, dir).select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        col("sig")(0).as("h0"), col("sig")(1).as("h1"),
+        col("sig")(2).as("h2"), col("sig")(3).as("h3"))
+      .where(col("h0").isNotNull) // docs with < k tokens have no shingles
+  }
+
+  // --- rows-only checks (no portable oracle: xxhash64 / murmur based) ---
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(spark, dir))
+
+  def dedupNgramPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(spark, dir), k = 5, threshold = 0.3)
+
+  def dedupLshPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(spark, dir), k = 3, bands = 4, rowsPerBand = 2,
+      threshold = 0.3)
+
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(embs(spark, dir), k = 5, bands = 8, bitsPerBand = 6)
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprint(docs(spark, dir))
+
+  def multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val withPayload = Multimodal.synthesizePayloads(docs(spark, dir))
+    Multimodal.extractFeatures(Multimodal.resize(withPayload, maxSide = 512))
+      .select(col("doc_id"), col("media.width").as("width"),
+        col("media.height").as("height"),
+        length(col("payload")).as("payload_bytes"),
+        col("features"))
+  }
+}
