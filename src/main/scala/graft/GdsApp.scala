@@ -1,0 +1,121 @@
+package graft
+
+import graft.core._
+import graft.algos._
+import graft.ingest.CodeFiles
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * spark-submit entry point (SURVEY.md §7.2 minimum end-to-end slice):
+ *
+ *   GdsApp create --input code_files.parquet --graph g [--store DIR]
+ *   GdsApp run <pagerank|wcc|lpa|triangles|degree> --graph g
+ *          [--mode stream|stats|write] [--output DIR] [--checkpoint DIR]
+ *          [--store DIR]
+ *   GdsApp list|drop --graph g [--store DIR]
+ *
+ * The durable catalog is a directory of parquet graphs
+ * (`<store>/<name>/{nodes,edges}`) so separate spark-submit invocations
+ * share state — the cluster-side stand-in for the reference's in-process
+ * GraphStoreCatalog.
+ */
+object GdsApp {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val cmd = args.head
+    val opts = parseOpts(args.tail)
+    val store = opts.getOrElse("store", "/tmp/graft-store")
+
+    val spark = SparkSession.builder()
+      .appName(s"graft-$cmd")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cmd match {
+      case "create" =>
+        val input = required(opts, "input")
+        val name = required(opts, "graph")
+        val cf = CodeFiles.withSha(spark.read.parquet(input))
+        val bad = CodeFiles.verifySha(cf)
+        require(bad == 0, s"sha256 invariant violated on $bad rows")
+        val g = CodeFiles.ingest(cf)
+        g.nodes.write.mode("overwrite").parquet(s"$store/$name/nodes")
+        g.edges.write.mode("overwrite").parquet(s"$store/$name/edges")
+        println(s"""{"graph":"$name","nodes":${g.nodeCount},"edges":${g.edgeCount}}""")
+
+      case "run" =>
+        val algo = args(1)
+        val opts2 = parseOpts(args.drop(2))
+        val name = required(opts2, "graph")
+        val mode = opts2.getOrElse("mode", "stream")
+        val g = load(spark, store, name)
+        val pregel = PregelConfig(checkpointDir = opts2.get("checkpoint"))
+        val result: DataFrame = algo match {
+          case "pagerank" => PageRank.run(g, PageRank.Config(pregel = pregel))
+          case "wcc" => Wcc.run(g, Wcc.Config(pregel = pregel))
+          case "lpa" => LabelPropagation.run(g, LabelPropagation.Config(pregel = pregel))
+          case "triangles" => TriangleCount.run(g)
+          case "degree" => DegreeCentrality.run(g)
+          case other => sys.error(s"unknown algorithm: $other")
+        }
+        mode match {
+          case "stream" =>
+            result.show(20, truncate = false)
+            println(s"""{"rows":${result.count()}}""")
+          case "stats" =>
+            val valueCol = result.columns.last
+            val s = ExecutionModes.communityStats(result, valueCol)
+            println(s"""{"rows":${s.rows},"histogram":{${
+              s.histogram.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
+          case "write" =>
+            val out = required(opts2, "output")
+            val w = ExecutionModes.write(result, out)
+            println(s"""{"rowsWritten":${w.rowsWritten},"writeMillis":${w.writeMillis},"path":"${w.path}"}""")
+        }
+
+      case "list" =>
+        val dir = new java.io.File(store)
+        val names = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).map(_.getName).sorted
+        println(names.mkString("[\"", "\",\"", "\"]"))
+
+      case "drop" =>
+        val name = required(opts, "graph")
+        val ok = deleteRecursively(new java.io.File(s"$store/$name"))
+        println(s"""{"dropped":$ok}""")
+
+      case _ => usage(); sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def load(spark: SparkSession, store: String, name: String): PropertyGraph =
+    PropertyGraph(
+      spark.read.parquet(s"$store/$name/nodes"),
+      spark.read.parquet(s"$store/$name/edges"))
+
+  private def parseOpts(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  private def required(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key, sys.error(s"missing required option --$key"))
+
+  private def deleteRecursively(f: java.io.File): Boolean = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage: GdsApp create --input <parquet> --graph <name> [--store DIR]
+      |       GdsApp run <pagerank|wcc|lpa|triangles|degree> --graph <name>
+      |              [--mode stream|stats|write] [--output DIR] [--checkpoint DIR]
+      |       GdsApp list | drop --graph <name>""".stripMargin)
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.core._
+import graft.algos._
+import graft.queries.GraphQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Two-parallelism scaling evidence (north rule: throughput scaling
+ * efficiency ≥ 0.8 from N to 4N executors; sandbox stand-in = local[8]
+ * vs local[32] on the same input — BASELINE.md "Target baseline").
+ *
+ * For each parallelism level this runs the four north-rule algorithms on
+ * the repo link graph derived from SPARK_GRAFT_SF_DIR and reports:
+ *  - wall seconds + supersteps + edges/sec/superstep for PageRank
+ *    (tolerance 1e-7), WCC, LPA (cap 10), and global TriangleCount;
+ *  - scaling efficiency between the two levels:
+ *      eff = T_low / (T_high · (cpusHigh / cpusLow)).
+ *
+ * Output: one JSON line per level plus a summary JSON line; paste into
+ * BASELINE.md. Run: sbt -batch "runMain graft.ScalingBench" (optionally
+ * SPARK_SCALE_LEVELS=8,32).
+ */
+object ScalingBench {
+
+  final case class AlgoTiming(name: String, seconds: Double, supersteps: Int,
+      edgesPerSecPerSuperstep: Double)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val levels = sys.env.getOrElse("SPARK_SCALE_LEVELS", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
+
+    val results = levels.map { cpus => cpus -> runLevel(sfDir, cpus) }
+
+    results.foreach { case (cpus, (edgeCount, timings)) =>
+      val qs = timings.map(t =>
+        s""""${t.name}":{"sec":${f"${t.seconds}%.3f"},"supersteps":${t.supersteps},""" +
+          s""""edgesPerSecPerSuperstep":${f"${t.edgesPerSecPerSuperstep}%.0f"}}""")
+        .mkString("{", ",", "}")
+      println(s"""{"level":"local[$cpus]","edges":$edgeCount,"algos":$qs,"sf":"$sfDir"}""")
+    }
+
+    if (results.size == 2) {
+      val (c1, (_, t1)) = results.head
+      val (c2, (_, t2)) = results.last
+      val factor = c2.toDouble / c1
+      val effs = t1.zip(t2).map { case (a, b) =>
+        val eff = a.seconds / (b.seconds * factor)
+        s""""${a.name}":${f"$eff%.3f"}"""
+      }
+      val total1 = t1.map(_.seconds).sum
+      val total2 = t2.map(_.seconds).sum
+      val totalEff = total1 / (total2 * factor)
+      println(s"""{"scalingEfficiency":{"from":"local[$c1]","to":"local[$c2]",""" +
+        s""""perAlgo":{${effs.mkString(",")}},"total":${f"$totalEff%.3f"}}}""")
+    }
+  }
+
+  private def runLevel(sfDir: String, cpus: Int): (Long, Seq[AlgoTiming]) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraphQueries.clearCache()
+    try {
+      val (g0, _) = GraphQueries.graph(spark, sfDir)
+      val simple = g0.edges.select(col("src"), col("dst")).distinct()
+        .withColumn("type", lit("REL")).withColumn("weight", lit(1.0))
+        .cutLineage()
+      val g = PropertyGraph(g0.nodes.cutLineage(), simple)
+      val edgeCount = simple.count()
+
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+
+      // undirected runs see 2x the canonical edge count per superstep
+      val workEdges = 2.0 * edgeCount
+
+      val (pr, prSec) = time {
+        PageRank.runWithMetrics(g, PageRank.Config(maxIterations = 20,
+          tolerance = 1e-7, orientation = Orientation.Undirected))
+      }
+      val (wccPair, wccSec) = time {
+        val (r, m) = Wcc.runWithMetrics(g)
+        r.count(); (r, m)
+      }
+      val wccSteps = wccPair._2.supersteps
+      val (lpaR, lpaSec) = time {
+        val r = LabelPropagation.run(g, LabelPropagation.Config(maxIterations = 10))
+        r.count(); r
+      }
+      val (tc, tcSec) = time(TriangleCount.globalCount(g))
+
+      val timings = Seq(
+        AlgoTiming("pagerank", prSec, pr.supersteps,
+          workEdges * pr.supersteps / prSec),
+        AlgoTiming("wcc", wccSec, wccSteps,
+          workEdges * wccSteps / wccSec),
+        AlgoTiming("lpa", lpaSec, 10, workEdges * 10 / lpaSec),
+        AlgoTiming("triangle_count", tcSec, 1, edgeCount / tcSec))
+      (edgeCount, timings)
+    } finally {
+      GraphQueries.clearCache()
+      spark.stop()
+      // allow a clean new session with a different master
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.algos
+
+import graft.core._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * K-1 Coloring — gds.beta.k1coloring.*
+ * (algo/.../beta/k1coloring/K1Coloring.java:145-226): greedy parallel
+ * coloring. Each round every queued node takes the smallest color absent
+ * among its neighbors' current colors (ColoringStep.java:58-90); a
+ * validation pass re-queues one endpoint of every conflicting edge
+ * (ValidationStep.java:27). We deterministically keep the smaller-id
+ * endpoint, so the fixpoint is independent of partitioning.
+ *
+ * Spark plan per round: neighbor-color join → collect_set per node →
+ * min-free-color via built-in HOFs (sequence/filter/array_min — no UDF) →
+ * conflict self-join on equal colors.
+ */
+object K1Coloring {
+
+  final case class Config(maxIterations: Int = 50)
+
+  /** @return (id, color) proper coloring of the undirected simple graph */
+  def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+    // undirected distinct neighbor relation
+    val eu = graph.oriented(Orientation.Undirected)
+      .select(col("src"), col("dst")).where(col("src") =!= col("dst")).distinct()
+      .cutLineage()
+
+    var colors = graph.nodes.select(col("id"), lit(0L).as("color"),
+      lit(true).as("queued")).cutLineage()
+
+    var iter = 0
+    var queued = 1L
+    while (queued > 0 && iter < config.maxIterations) {
+      // queued nodes gather neighbor colors and take the min free color.
+      val nbrColors = eu
+        .join(colors.select(col("id").as("src"), col("queued")), Seq("src"))
+        .where(col("queued"))
+        .join(colors.select(col("id").as("dst"), col("color").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(array_sort(collect_set(col("nc"))).as("ncs"))
+        .select(col("id"),
+          array_min(filter(sequence(lit(0L), size(col("ncs")).cast("long")),
+            x => !array_contains(col("ncs"), x))).as("newColor"))
+
+      val recolored = colors.join(nbrColors, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("queued") && col("newColor").isNotNull, col("newColor"))
+            .otherwise(col("color")).as("color"))
+
+      // validation: for every conflicting edge, requeue the larger id.
+      val cl = recolored.select(col("id").as("src"), col("color").as("ca"))
+      val cr = recolored.select(col("id").as("dst"), col("color").as("cb"))
+      val conflicts = eu.join(cl, Seq("src")).join(cr, Seq("dst"))
+        .where(col("ca") === col("cb"))
+        .select(greatest(col("src"), col("dst")).as("id")).distinct()
+
+      colors = recolored
+        .join(conflicts.withColumn("q", lit(true)), Seq("id"), "left_outer")
+        .select(col("id"), col("color"), coalesce(col("q"), lit(false)).as("queued"))
+        .cutLineage()
+
+      queued = colors.where(col("queued")).count()
+      iter += 1
+    }
+    colors.select(col("id"), col("color"))
+  }
+}

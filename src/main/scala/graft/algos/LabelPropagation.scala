@@ -51,8 +51,12 @@ object LabelPropagation {
 
   /** @return (id, label) */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+    // partition once by the join key (dst — labels are pulled from the
+    // neighbor side); localCheckpoint preserves it across iterations.
     val edges = graph.oriented(config.orientation)
       .select(col("src"), col("dst"), col("weight"))
+      .repartition(col("dst"))
+      .cutLineage()
 
     val initLabel = config.seedProperty match {
       case Some(p) => col(p).cast("long")
@@ -65,7 +69,7 @@ object LabelPropagation {
 
     var labels = graph.nodes
       .select(col("id"), initLabel.as("label"), nodeWeight.as("nodeWeight"))
-      .localCheckpoint(true)
+      .cutLineage()
 
     var iter = 0
     var changed = 1L
@@ -84,7 +88,7 @@ object LabelPropagation {
           coalesce(col("newLabel"), col("label")).as("label"),
           col("nodeWeight"),
           (coalesce(col("newLabel"), col("label")) =!= col("label")).as("ch"))
-        .localCheckpoint(true)
+        .cutLineage()
 
       changed = updated.where(col("ch")).count()
       labels = updated.drop("ch")

@@ -1,0 +1,206 @@
+package graft.algos
+
+import graft.core._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Modularity Optimization — gds.beta.modularityOptimization.* — the
+ * parallel Louvain phase 1 of the reference
+ * (algo/.../beta/modularity/ModularityOptimization.java:50-387, after Lu
+ * et al. 2015): K1-color the graph, then sweep color classes; within a
+ * color class all nodes move simultaneously (no two adjacent nodes share a
+ * color, so parallel moves never race — the reference's coloring trick
+ * maps 1:1 onto a synchronous Spark superstep per color).
+ *
+ * Gain of moving node i to community c (constant factors dropped — only
+ * the argmax matters):  k_{i,c} − k_i · Σtot'(c) / (2m)
+ * where k_{i,c} = weight from i into c, k_i = weighted degree of i,
+ * Σtot'(c) excludes i when c is i's own community. Ties → smaller
+ * community id; a node moves only on strictly positive improvement over
+ * staying. Defaults mirror the reference: maxIterations 10, tolerance
+ * 1e-4 on modularity delta (ModularityOptimizationBaseConfig).
+ */
+object ModularityOptimization {
+
+  final case class Config(
+      maxIterations: Int = 10,
+      tolerance: Double = 1e-4,
+      seedProperty: Option[String] = None)
+
+  final case class Result(communities: DataFrame, modularity: Double,
+      ranIterations: Int)
+
+  /** Symmetric weighted edge view (both directions), parallel edges summed. */
+  private def symEdges(graph: PropertyGraph): DataFrame =
+    graph.aggregated(Orientation.Undirected, Aggregation.Sum)
+      .where(col("src") =!= col("dst"))
+
+  def run(graph: PropertyGraph, config: Config = Config()): Result = {
+    val ew = symEdges(graph).cutLineage()
+    val m2 = ew.agg(sum("weight")).head().getDouble(0) // = 2m (each edge twice)
+    if (m2 == 0.0) {
+      val triv = graph.nodes.select(col("id"), col("id").as("community"))
+      return Result(triv, 0.0, 0)
+    }
+
+    // weighted degrees k_i
+    val degw = ew.groupBy(col("src").as("id")).agg(sum("weight").as("k"))
+    val nodes = graph.nodes.select(col("id"))
+      .join(degw, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("k"), lit(0.0)).as("k"))
+      .cutLineage()
+
+    // color classes for race-free parallel moves
+    val coloring = K1Coloring.run(graph).cutLineage()
+    val colorVals = coloring.select("color").distinct()
+      .collect().map(_.getLong(0)).sorted
+
+    val initComm = config.seedProperty match {
+      case Some(p) => graph.nodes.select(col("id"), col(p).cast("long").as("community"))
+      case None    => nodes.select(col("id"), col("id").as("community"))
+    }
+    var comm = initComm.cutLineage()
+
+    var lastQ = modularity(ew, comm, m2)
+    var iter = 0
+    var improved = true
+    while (improved && iter < config.maxIterations) {
+      for (c <- colorVals) {
+        val ctot = comm.join(nodes, Seq("id"))
+          .groupBy("community").agg(sum("k").as("tot"))
+        val active = coloring.where(col("color") === c).select(col("id"))
+
+        // k_{i,c}: weight from each active node into each neighbor community
+        val kic = ew
+          .join(active.withColumnRenamed("id", "src"), Seq("src"))
+          .join(comm.select(col("id").as("dst"), col("community")), Seq("dst"))
+          .groupBy(col("src").as("id"), col("community"))
+          .agg(sum("weight").as("kic"))
+
+        val cur = comm.select(col("id"), col("community").as("curComm"))
+        val cand = kic
+          .join(cur, Seq("id"))
+          .join(nodes, Seq("id"))
+          .join(ctot, Seq("community"))
+          .select(col("id"), col("community"), col("curComm"),
+            (col("kic") - col("k") *
+              (col("tot") - when(col("community") === col("curComm"), col("k"))
+                .otherwise(0.0)) / m2).as("gain"))
+
+        // best candidate per node: gain desc, community asc; include an
+        // implicit "stay" option with the gain of the current community
+        // (or 0 when the node has no edge into it).
+        val stay = cur.join(active, Seq("id"))
+          .join(nodes, Seq("id"))
+          .join(ctot.withColumnRenamed("community", "curComm"), Seq("curComm"))
+          .select(col("id"), col("curComm").as("community"), col("curComm"),
+            (lit(0.0) - col("k") * (col("tot") - col("k")) / m2).as("gain"))
+
+        val best = cand.unionByName(stay)
+          .groupBy("id")
+          .agg(expr("max_by(named_struct('community', community, 'gain', gain)," +
+            " named_struct('g', gain, 'nc', -community))").as("b"),
+            max(when(col("community") === col("curComm"), col("gain"))).as("curGain"))
+          .select(col("id"), col("b.community").as("newComm"),
+            col("b.gain").as("bestGain"), coalesce(col("curGain"), lit(0.0)).as("curGain"))
+          .where(col("bestGain") > col("curGain"))
+          .select(col("id"), col("newComm"))
+
+        comm = comm.join(best, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("newComm"), col("community")).as("community"))
+          .cutLineage()
+      }
+      val q = modularity(ew, comm, m2)
+      improved = q - lastQ > config.tolerance
+      lastQ = q
+      iter += 1
+    }
+    Result(comm, lastQ, iter)
+  }
+
+  /** Q = Σ_c [ Σin(c)/(2m) − (Σtot(c)/(2m))² ] over the symmetric view. */
+  def modularity(ew: DataFrame, comm: DataFrame, m2: Double): Double = {
+    val withComm = ew
+      .join(comm.select(col("id").as("src"), col("community").as("cs")), Seq("src"))
+      .join(comm.select(col("id").as("dst"), col("community").as("cd")), Seq("dst"))
+    val sin = withComm.where(col("cs") === col("cd"))
+      .agg(coalesce(sum("weight"), lit(0.0))).head().getDouble(0) // counts both dirs = 2·win
+    val degw = ew.groupBy(col("src")).agg(sum("weight").as("k"))
+    val stot = degw.join(comm.select(col("id").as("src"), col("community")), Seq("src"))
+      .groupBy("community").agg(sum("k").as("tot"))
+      .agg(coalesce(sum(col("tot") * col("tot")), lit(0.0))).head().getDouble(0)
+    sin / m2 - stot / (m2 * m2)
+  }
+}
+
+/**
+ * Louvain — gds.louvain.* (algo/.../louvain/Louvain.java:49-295):
+ * multi-level modularity. Each level runs ModularityOptimization, then
+ * contracts the graph by community (edge weights summed — the
+ * Aggregation.SUM coarsening of Louvain.java:176-217) and repeats while
+ * modularity improves by > tolerance, up to maxLevels (10). Returns the
+ * final flat assignment, the dendrogram and per-level modularities.
+ */
+object Louvain {
+
+  final case class Config(
+      maxLevels: Int = 10,
+      maxIterations: Int = 10,
+      tolerance: Double = 1e-4,
+      seedProperty: Option[String] = None)
+
+  final case class Result(communities: DataFrame,
+      dendrogram: Seq[DataFrame], modularities: Seq[Double])
+
+  def run(graph: PropertyGraph, config: Config = Config()): Result = {
+    var g = PropertyGraph(
+      graph.nodes.select(col("id")),
+      graph.aggregated(Orientation.Natural, Aggregation.Sum)
+        .withColumn("type", lit("REL"))
+        .select(col("src"), col("dst"), col("type"), col("weight")))
+    // flat: original id -> community at the current depth
+    var flat = config.seedProperty match {
+      case Some(p) => graph.nodes.select(col("id"), col(p).cast("long").as("community"))
+      case None    => graph.nodes.select(col("id"), col("id").as("community"))
+    }
+    val dendrogram = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val modularities = scala.collection.mutable.ArrayBuffer[Double]()
+
+    var level = 0
+    var lastQ = Double.NegativeInfinity
+    var continue = true
+    while (continue && level < config.maxLevels) {
+      val r = ModularityOptimization.run(g,
+        ModularityOptimization.Config(config.maxIterations, config.tolerance))
+      val moved = r.communities.where(col("id") =!= col("community")).limit(1).count() > 0
+      if (!moved || r.modularity - lastQ <= config.tolerance && level > 0) {
+        continue = false
+      } else {
+        lastQ = r.modularity
+        modularities += r.modularity
+        flat = flat
+          .join(r.communities.select(col("id").as("community"),
+            col("community").as("next")), Seq("community"))
+          .select(col("id"), col("next").as("community"))
+          .cutLineage()
+        dendrogram += flat
+
+        // contraction: communities become vertices; weights summed.
+        val cmap = r.communities
+        val contracted = g.edges
+          .join(cmap.select(col("id").as("src"), col("community").as("csrc")), Seq("src"))
+          .join(cmap.select(col("id").as("dst"), col("community").as("cdst")), Seq("dst"))
+          .groupBy(col("csrc").as("src"), col("cdst").as("dst"))
+          .agg(sum("weight").as("weight"))
+          .withColumn("type", lit("REL"))
+          .select(col("src"), col("dst"), col("type"), col("weight"))
+        val cnodes = cmap.select(col("community").as("id")).distinct()
+        g = PropertyGraph(cnodes.cutLineage(),
+          contracted.cutLineage())
+        level += 1
+      }
+    }
+    Result(flat, dendrogram.toSeq, modularities.toSeq)
+  }
+}

@@ -21,19 +21,34 @@ import org.apache.spark.sql.expressions.Window
  */
 object NodeSimilarity {
 
+  /**
+   * @param sourceNodes optional (id) frame restricting which nodes appear
+   *        as pair endpoints — the reference's sourceIds/targetIds knob
+   *        (SimilarityAlgorithm sourceIds). Also the scale lever: the
+   *        shared-neighbor candidate join is Σ_t indeg(t)² and a full run
+   *        on a hub-heavy graph is genuinely quadratic; GDS answers with
+   *        cutoffs/topK, we additionally allow an explicit endpoint set.
+   */
   final case class Config(
       topK: Int = 10,
       degreeCutoff: Long = 1,
       similarityCutoff: Double = 1e-42,
-      orientation: Orientation = Orientation.Natural)
+      orientation: Orientation = Orientation.Natural,
+      sourceNodes: Option[DataFrame] = None)
 
   /** @return (node1, node2, similarity, rank) — rank 1..topK per node1 */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
     // distinct neighbor sets under the chosen orientation
-    val adj = graph.oriented(config.orientation)
+    val adj0 = graph.oriented(config.orientation)
       .select(col("src"), col("dst")).distinct()
-    val deg = adj.groupBy("src").agg(count(lit(1)).as("d"))
+    val deg = adj0.groupBy("src").agg(count(lit(1)).as("d"))
       .where(col("d") >= config.degreeCutoff)
+    // endpoint restriction applies to pair endpoints, not to the shared
+    // neighbors (degrees stay full-graph, so Jaccard values are unchanged).
+    val adj = config.sourceNodes match {
+      case Some(s) => adj0.join(broadcast(s.select(col("id").as("src"))), Seq("src"))
+      case None    => adj0
+    }
 
     // candidates via shared neighbor; intersection size in one aggregate
     val l = adj.join(deg, Seq("src")).select(col("src").as("a"), col("dst"), col("d").as("da"))

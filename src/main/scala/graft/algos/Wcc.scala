@@ -40,7 +40,11 @@ object Wcc {
       pregel: PregelConfig = PregelConfig())
 
   /** @return (id, component) */
-  def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+  def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
+    runWithMetrics(graph, config)._1
+
+  /** @return ((id, component), pregel result with superstep metrics) */
+  def runWithMetrics(graph: PropertyGraph, config: Config = Config()): (DataFrame, PregelResult) = {
     import Pregel._
 
     val base = config.threshold match {
@@ -74,7 +78,7 @@ object Wcc {
       config = config.pregel.copy(maxIterations = config.maxIterations))
 
     val comps = result.vertices.select(col("id"), col("component"))
-    if (config.consecutiveIds) consecutive(comps) else comps
+    (if (config.consecutiveIds) consecutive(comps) else comps, result)
   }
 
   /** Dense ascending renumbering of component ids (consecutiveIds). */

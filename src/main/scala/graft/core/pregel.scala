@@ -122,7 +122,15 @@ object Pregel {
     var superstep = ckpt.flatMap(_.latestSuperstep).getOrElse(0)
     var state =
       if (superstep > 0) ckpt.get.load(spark, superstep) // resume path
-      else initial.localCheckpoint(true) // cut the ingest lineage once
+      else initial.cutLineage() // cut the ingest lineage once
+
+    // Hash-partition the (large, static) edge relation by the join key
+    // ONCE; localCheckpoint (NOT cutLineage — it must keep its hash
+    // partitioning, and a once-carried stat can't grow) lets every
+    // superstep's edges⋈vertices join reuse the layout, so only the
+    // (small) vertex side shuffles. This is the per-superstep
+    // shuffle-minimization the north rule calls out.
+    val edgesPart = edges.repartition(col("src")).localCheckpoint(true)
 
     var converged = false
     val history = scala.collection.mutable.ArrayBuffer[SuperstepMetrics]()
@@ -132,8 +140,8 @@ object Pregel {
 
       // scatter: active sources emit along their out-edges, then combine.
       val active = state.where(col(ACTIVE))
-      val raw = edges.join(active, edges("src") === active("id"))
-        .select(edges("dst").as("id"), msgExpr.as(MSG))
+      val raw = edgesPart.join(active, edgesPart("src") === active("id"))
+        .select(edgesPart("dst").as("id"), msgExpr.as(MSG))
       val track = config.trackMetrics || ckpt.isDefined
       // metrics cost one extra pass over the (small, pre-combined) message
       // frame; skip it entirely when nobody will read the lineage.
@@ -147,7 +155,7 @@ object Pregel {
       // (iterative plans would otherwise snowball — SURVEY.md §7.4).
       val joined = state.join(msgs, Seq("id"), "left_outer")
       val newState = joined.select(col("id") +: updateExprs: _*)
-        .localCheckpoint(true)
+        .cutLineage()
 
       // barrier 2 + metrics in a single action over the new state.
       val statsRow = newState.agg(

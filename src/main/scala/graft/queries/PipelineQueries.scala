@@ -41,8 +41,9 @@ object PipelineQueries {
         col("rank").cast("long").as("rank"))
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = Dedup.minhashSignature(col("text"), k = 3, numHashes = 4)
-    docs(spark, dir).select(col("doc_id"), sig.as("sig"))
+    Dedup.shingleFrame(docs(spark, dir), "doc_id", "text", 3)
+      .select(col("doc_id"),
+        Dedup.minhashFromShingles(col("sh"), 4).as("sig"))
       .select(col("doc_id"),
         col("sig")(0).as("h0"), col("sig")(1).as("h1"),
         col("sig")(2).as("h2"), col("sig")(3).as("h3"))

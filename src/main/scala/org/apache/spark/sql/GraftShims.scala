@@ -1,0 +1,32 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.{DataFrame => CDataFrame, SparkSession => CSparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Thin access shim into package-private Spark API.
+ *
+ * Why it exists: `Dataset.localCheckpoint` copies the origin plan's
+ * statistics into the resulting LogicalRDD. In an iterative job the next
+ * plan joins that frame several times, and SizeInBytesOnlyStatsPlanVisitor
+ * MULTIPLIES child sizes — so the carried sizeInBytes grows exponentially
+ * in bit length across supersteps, and after a few dozen iterations the
+ * driver spends minutes in BigInteger.multiply (Karatsuba/ToomCook) during
+ * stats estimation. Rebuilding the DataFrame from the checkpointed
+ * internal RDD drops the poisoned stats: the fresh LogicalRDD reports the
+ * constant `spark.sql.defaultSizeInBytes` instead.
+ */
+object GraftShims {
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[CSparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** Eagerly materialize `df`, truncate its lineage AND drop its carried
+   *  statistics (see scaladoc above — the localCheckpoint stats poison). */
+  def cutLineage(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true).asInstanceOf[CDataFrame]
+    internalCreateDataFrame(df.sparkSession, c.queryExecution.toRdd, df.schema)
+  }
+}

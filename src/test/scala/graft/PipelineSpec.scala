@@ -1,0 +1,130 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis / multimodal pipeline operators. */
+class PipelineSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val d = docs((1L, "hello world"), (2L, "hello world"), (3L, "different"))
+    val r = Dedup.exact(d).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 1L && r(2L) == 1L && r(3L) == 3L)
+  }
+
+  test("minhash LSH finds near-duplicates and skips distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely unrelated content about spark dataframes and shuffles here"
+    val d = docs((1L, base), (2L, near), (3L, far))
+    val pairs = Dedup.minhashLsh(d, k = 2, bands = 8, rowsPerBand = 1, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard exact pair verification") {
+    val d = docs(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w v"))
+    val pairs = Dedup.ngramJaccard(d, k = 2, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // shingles(1) = {ab,bc,cd,de}, shingles(2) = {ab,bc,cd,df}: J = 3/5
+    assert(math.abs(pairs((1L, 2L)) - 0.6) < 1e-12)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal, near docs close, far docs far") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs((1L, base), (2L, base), (3L, base + " extra"), (4L, "t o t a l l y d i f f e r e n t w o r d s"))
+    val h = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L))
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+    val pairs = Dedup.simhashPairs(d, maxDistance = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("document fingerprint stable under distant edits, changes locally") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs((1L, base), (2L, base))
+    val fp = Dedup.fingerprint(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L).nonEmpty)
+  }
+
+  test("brute-force cosine topK: exact neighbors on constructed vectors") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(vs, k = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 2L && r(2L) == 1L && r(3L) == 2L)
+  }
+
+  test("LSH topK recall on clustered vectors (scale path)") {
+    import spark.implicits._
+    // two tight clusters around e1 and e2 in 8 dims
+    val rows = (0 until 40).map { i =>
+      val cluster = i % 2
+      val v = Array.tabulate(8)(d =>
+        (if (d == cluster) 1.0f else 0.0f) + (i / 2 + d) % 5 * 0.01f)
+      (i.toLong, v)
+    }
+    val vs = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vs, k = 3).where(col("rank") === 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val approx = Similarity.lshTopK(vs, k = 3, bands = 8, bitsPerBand = 4)
+      .where(col("rank") === 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // top-1 must stay inside the right cluster for every query it returns
+    approx.foreach { case (a, b) => assert(a % 2 == b % 2, s"$a -> $b crossed clusters") }
+    assert(approx.size >= 30, s"LSH recall too low: ${approx.size}/40")
+    // and for most queries the exact top-1 is recovered
+    val agree = approx.count { case (a, b) => exact.get(a).contains(b) }
+    assert(agree >= approx.size / 2)
+  }
+
+  test("text quality: clean prose scores above junk") {
+    val good = "The quick brown fox jumps over the lazy dog and it was a fine day for that in the park."
+    val junk = "!!!??? ;;; ### 000 1111 ..... ,,,,,"
+    val d = docs((1L, good), (2L, junk))
+    val q = TextAnalysis.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(q(1L) > q(2L))
+  }
+
+  test("language id picks the marker-dominant language") {
+    val d = docs(
+      (1L, "the cat and the dog went to the house with a ball"),
+      (2L, "der hund und die katze ist nicht mit der maus"),
+      (3L, "zzz qqq www"))
+    val r = TextAnalysis.languageId(d).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
+  }
+
+  test("multimodal plumbing: payload synthesis, stub features deterministic, resize caps dims") {
+    val d = docs((1L, "image one content"), (2L, "image two content"))
+    val withP = Multimodal.synthesizePayloads(d)
+    assert(withP.select("payload").head().getAs[Array[Byte]](0).length == 64)
+    val f1 = Multimodal.extractFeatures(withP).select("doc_id", "features")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val f2 = Multimodal.extractFeatures(withP).select("doc_id", "features")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(f1 == f2)
+    assert(f1(1L).size == 8 && f1(1L) != f1(2L))
+    val resized = Multimodal.resize(withP, 256)
+      .select(col("media.width"), col("media.height")).collect()
+    resized.foreach { r => assert(r.getInt(0) <= 256 && r.getInt(1) <= 256) }
+    val frames = Multimodal.sampleFrames(withP, 4, "doc_id")
+    assert(frames.count() == 8)
+  }
+}
