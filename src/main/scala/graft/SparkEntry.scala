@@ -32,6 +32,14 @@ object SparkEntry {
     "lcc" -> (G.lcc _),
     "node_similarity" -> (G.nodeSimilarity _),
     "bfs" -> (G.bfs _),
+    "article_rank" -> (G.articleRank _),
+    "eigenvector" -> (G.eigenvector _),
+    "link_prediction" -> (G.linkPrediction _),
+    "scc" -> (G.scc _),
+    "closeness" -> (G.closeness _),
+    "louvain" -> (G.louvain _),
+    "k1coloring" -> (G.k1coloring _),
+    "random_walks" -> (G.randomWalks _),
     // training-data pipeline (oracle-checked)
     "dedup_exact" -> (P.dedupExact _),
     "dedup_minhash" -> (P.dedupMinhash _),

@@ -91,28 +91,35 @@ object Dedup {
       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxBucketSize: Int = 50): DataFrame = {
 
-    val withSig = shingleFrame(docs, idCol, textCol, k)
-      .select(col(idCol).as("id"), col("sh"),
-        minhashFromShingles(col("sh"), bands * rowsPerBand).as("sig"))
-      .where(size(col("sh")) > 0)
+    // shingle sets computed once; only (id, bucket) travels through the
+    // candidate shuffle — the fat shingle arrays join back per verified
+    // candidate side (candidates are output-scale, not corpus-scale).
+    val withSh = graft.core.Lineage.cut(
+      shingleFrame(docs, idCol, textCol, k)
+        .select(col(idCol).as("id"), col("sh"))
+        .where(size(col("sh")) > 0))
+    val withSig = withSh.select(col("id"),
+      minhashFromShingles(col("sh"), bands * rowsPerBand).as("sig"))
 
     // band key = hash of the band's slice of the signature
-    val banded = withSig.select(col("id"), col("sh"),
+    val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => sha2(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), 256))))
-      .select(col("id"), col("sh"), concat(col("pos"), lit("_"), col("col")).as("bucket"))
+      .select(col("id"), concat(col("pos"), lit("_"), col("col")).as("bucket"))
 
     // bound hub buckets (boilerplate shingles → giant buckets → quadratic)
     val bucketSizes = banded.groupBy("bucket").agg(count(lit(1)).as("bs"))
     val bounded = banded.join(bucketSizes.where(col("bs") <= maxBucketSize), Seq("bucket"))
 
-    val l = bounded.select(col("bucket"), col("id").as("a"), col("sh").as("sha"))
-    val r = bounded.select(col("bucket"), col("id").as("b"), col("sh").as("shb"))
+    val l = bounded.select(col("bucket"), col("id").as("a"))
+    val r = bounded.select(col("bucket"), col("id").as("b"))
     val candidates = l.join(r, Seq("bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
 
     candidates
+      .join(withSh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(withSh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))

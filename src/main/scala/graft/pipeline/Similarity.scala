@@ -32,6 +32,37 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Remaining similarity kernels of the reference's alpha family
+   *  (gds.alpha.similarity.{euclidean,pearson,overlap}, kernels in
+   *  core/.../utils/Intersections.java:113-170). */
+  def euclideanDistance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+
+  def euclideanSimilarity(a: Column, b: Column): Column =
+    lit(1.0) / (lit(1.0) + euclideanDistance(a, b))
+
+  def pearson(a: Column, b: Column): Column = {
+    val n = size(a).cast("double")
+    val ma = aggregate(a, lit(0.0), (acc, v) => acc + v) / n
+    val mb = aggregate(b, lit(0.0), (acc, v) => acc + v) / n
+    val cov = aggregate(zip_with(a, b, (x, y) => (x - ma) * (y - mb)),
+      lit(0.0), (acc, v) => acc + v)
+    val va = aggregate(a, lit(0.0), (acc, v) => acc + (v - ma) * (v - ma))
+    val vb = aggregate(b, lit(0.0), (acc, v) => acc + (v - mb) * (v - mb))
+    cov / sqrt(va * vb)
+  }
+
+  /** Overlap over CATEGORY arrays: |A∩B| / min(|A|,|B|). */
+  def overlap(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      least(size(a), size(b)).cast("double")
+
+  /** gds.alpha.ml.oneHotEncoding(available, selected) — list → one-hot
+   *  (alpha/alpha-proc/.../OneHotEncodingFunc.java). */
+  def oneHotEncoding(available: Column, selected: Column): Column =
+    transform(available, v => when(array_contains(selected, v), 1L).otherwise(0L))
+
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /**
@@ -59,24 +90,32 @@ object Similarity {
    */
   def lshBuckets(vectors: DataFrame, bands: Int, bitsPerBand: Int, seed: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
     val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     val nPlanes = bands * bitsPerBand
-    // plane weights as literal arrays (driver-computed, deterministic,
-    // broadcast with the plan — dims are model-sized, not data-sized).
+    // deterministic plane weights as a small BROADCAST table — inlining
+    // bands·bits·dim literals into the plan makes Catalyst planning and
+    // codegen blow up (observed: minutes of planning at 48×64 literals).
     def w(p: Int, d: Int): Double = {
       val h = scala.util.hashing.MurmurHash3.productHash((seed, p, d))
       (h.toDouble / Int.MaxValue)
     }
+    import spark.implicits._
+    val planes = (0 until nPlanes)
+      .map(p => (p, (0 until dim).map(d => w(p, d)).toArray))
+      .toDF("p", "w")
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val sigBits: Seq[Column] = (0 until nPlanes).map { p =>
-      val plane = array((0 until dim).map(d => lit(w(p, d))): _*)
-      (dot(col("v"), plane) > 0.0).cast("int")
-    }
-    val sig = v.withColumn("bits", array(sigBits: _*))
-    sig.select(col("id"), col("v"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("", slice(col("bits"), b * bitsPerBand + 1, lit(bitsPerBand))))))
-      .select(col("id"), col("v"), concat(col("pos"), lit("_"), col("col")).as("bucket"))
+    // one row per (vector, plane): sign bit of the projection
+    val bits = v.crossJoin(broadcast(planes))
+      .select(col("id"), col("v"), col("p"),
+        when(dot(col("v"), col("w")) > 0.0,
+          expr("shiftleft(cast(1 as bigint), cast(p % " + bitsPerBand + " as int))"))
+          .otherwise(0L).as("bit"))
+    // fold bits into one bucket value per (vector, band)
+    bits.groupBy(col("id"), (col("p") / bitsPerBand).cast("int").as("band"))
+      .agg(sum("bit").as("sig"), first("v").as("v"))
+      .select(col("id"), col("v"),
+        concat(col("band"), lit("_"), col("sig")).as("bucket"))
   }
 
   /**

@@ -191,4 +191,107 @@ object GraphQueries {
     val (g, verts) = simpleGraph(spark, dir)
     toRepo(Wcc.run(g, Wcc.Config(consecutiveIds = true)), verts, "component")
   }
+
+  /** ArticleRank, 5 fixed iterations on the undirected simple graph. */
+  def articleRank(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val ar = ArticleRank.run(g, ArticleRank.Config(maxIterations = 5,
+      tolerance = 0.0, orientation = Orientation.Undirected))
+    toRepo(ar.select(col("id"), round(col("score"), 6).as("score")), verts, "score")
+  }
+
+  /** Eigenvector centrality, 3 fixed power iterations (L2-normalized). */
+  def eigenvector(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val ev = Eigenvector.run(g, Eigenvector.Config(maxIterations = 3,
+      tolerance = 0.0, orientation = Orientation.Undirected))
+    toRepo(ev.select(col("id"), round(col("score"), 6).as("score")), verts, "score")
+  }
+
+  /** Link-prediction kernels over existing canonical edges with
+   *  src repo ≤ r000500 (deterministic bounded pair set). */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val cutoffId = verts.where(col("repo") <= "r000500")
+      .agg(max("id")).head().getLong(0)
+    val pairs = g.edges.where(col("src") <= cutoffId)
+      .select(col("src").as("node1"), col("dst").as("node2"))
+    val scores = LinkPrediction.scores(g, pairs, Orientation.Undirected)
+    scores
+      .join(verts.select(col("id").as("node1"), col("repo").as("repo1")), Seq("node1"))
+      .join(verts.select(col("id").as("node2"), col("repo").as("repo2")), Seq("node2"))
+      .select(col("repo1"), col("repo2"), col("commonNeighbors"),
+        col("totalNeighbors"), col("preferentialAttachment"),
+        round(col("adamicAdar"), 6).as("adamicAdar"),
+        round(col("resourceAllocation"), 6).as("resourceAllocation"))
+  }
+
+  /** SCC over a parity-directed view of the link graph: edge direction by
+   *  oddness of the total co-occurrence weight (creates real cycles;
+   *  deterministic in both engines). */
+  def scc(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = graph(spark, dir)
+    val agg = g.edges.groupBy("src", "dst").agg(sum("weight").as("w"))
+    val directed = agg.select(
+      when(col("w").cast("long") % 2 === 1, col("src")).otherwise(col("dst")).as("src"),
+      when(col("w").cast("long") % 2 === 1, col("dst")).otherwise(col("src")).as("dst"))
+      .withColumn("type", lit("REL")).withColumn("weight", lit(1.0))
+    val comp = Scc.run(PropertyGraph(g.nodes, directed))
+    comp.join(verts, Seq("id"))
+      .join(verts.select(col("id").as("component"), col("repo").as("component_repo")),
+        Seq("component"))
+      .select(col("repo"), col("component_repo"))
+  }
+
+  /** Closeness + harmonic on the subgraph induced by repos ≤ r000500
+   *  (exact all-pairs BFS; the induced bound keeps it oracle-checkable). */
+  def closeness(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val sub = verts.where(col("repo") <= "r000500").select(col("id"))
+    val subEdges = g.edges
+      .join(sub.withColumnRenamed("id", "src"), Seq("src"))
+      .join(sub.withColumnRenamed("id", "dst"), Seq("dst"))
+    val subGraph = PropertyGraph(sub, subEdges)
+    val r = Closeness.run(subGraph, Closeness.Config(maxDepth = 15))
+    toRepo(r.select(col("id"),
+      round(col("closeness"), 6).as("closeness"),
+      round(col("harmonic"), 6).as("harmonic")), verts, "closeness", "harmonic")
+  }
+
+  /** Subgraph induced by repos ≤ r002000 — no-op at the correctness-gate
+   *  scales (≤2000 parts), the cost bound for the community queries at
+   *  bench scale (color-batched sweeps are rounds × full-graph joins). */
+  private def inducedGraph(spark: SparkSession, dir: String): (PropertyGraph, DataFrame) = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val sub = verts.where(col("repo") <= "r002000").select(col("id"))
+    val subEdges = g.edges
+      .join(sub.withColumnRenamed("id", "src"), Seq("src"))
+      .join(sub.withColumnRenamed("id", "dst"), Seq("dst"))
+    (PropertyGraph(sub, subEdges), verts)
+  }
+
+  /** Louvain communities (rows-only driver check — modularity pipeline has
+   *  no tractable SQL oracle). */
+  def louvain(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = inducedGraph(spark, dir)
+    val r = Louvain.run(g, Louvain.Config(maxLevels = 2, maxIterations = 3))
+    r.communities.join(verts, Seq("id"))
+      .join(verts.select(col("id").as("community"), col("repo").as("community_repo")),
+        Seq("community"))
+      .select(col("repo"), col("community_repo"))
+  }
+
+  /** K1 coloring (rows-only; validity asserted in unit tests). */
+  def k1coloring(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = inducedGraph(spark, dir)
+    toRepo(K1Coloring.run(g), verts, "color")
+  }
+
+  /** Random walks from each repo (rows-only; xxhash64-seeded choices). */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val r = RandomWalk.run(g, RandomWalk.Config(steps = 5))
+    r.join(verts.select(col("id").as("start"), col("repo")), Seq("start"))
+      .select(col("walkId"), col("repo"), col("path"))
+  }
 }

@@ -249,7 +249,111 @@ mh AS (SELECT doc_id,
        FROM sh GROUP BY doc_id)
 SELECT doc_id, h0, h1, h2, h3 FROM mh"""
 
+  /** ArticleRank unrolled: denominator deg+avgDeg (constant scalar). */
+  private def arUnrolled(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      val prev = s"a${t - 1}"
+      s"""a$t AS (SELECT n.id, 0.15 + 0.85 * coalesce(s.m, 0.0) AS rank
+         FROM a0 n LEFT JOIN (
+           SELECT e.dst AS id, sum(r.rank / (dd.d + ad.v)) AS m
+           FROM eu e JOIN $prev r ON r.id = e.src JOIN du dd ON dd.id = e.src
+           CROSS JOIN avgdeg ad GROUP BY e.dst) s ON s.id = n.id)"""
+    }.mkString(",\n")
+    s""",
+avgdeg AS (SELECT avg(CAST(coalesce(du.d, 0) AS DOUBLE)) AS v
+           FROM nodes n LEFT JOIN du ON du.id = n.id),
+a0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes),
+$steps
+SELECT id AS repo, round(rank, 6) AS score FROM a$iters"""
+  }
+
+  val articleRank: String = graphCte + arUnrolled(5)
+
+  /** Eigenvector: 3 power iterations, L2 normalization per step. */
+  val eigenvector: String = graphCte + """,
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+e0 AS (SELECT id, (SELECT 1.0 / n FROM nn) AS rank FROM nodes),
+s1 AS (SELECT n.id, coalesce(x.s, 0.0) AS s FROM e0 n LEFT JOIN
+       (SELECT e.dst AS id, sum(r.rank) AS s FROM eu e JOIN e0 r ON r.id = e.src
+        GROUP BY e.dst) x ON x.id = n.id),
+n1 AS (SELECT sqrt(sum(s * s)) AS nrm FROM s1),
+e1 AS (SELECT id, CASE WHEN (SELECT nrm FROM n1) = 0 THEN s
+                  ELSE s / (SELECT nrm FROM n1) END AS rank FROM s1),
+s2 AS (SELECT n.id, coalesce(x.s, 0.0) AS s FROM e1 n LEFT JOIN
+       (SELECT e.dst AS id, sum(r.rank) AS s FROM eu e JOIN e1 r ON r.id = e.src
+        GROUP BY e.dst) x ON x.id = n.id),
+n2 AS (SELECT sqrt(sum(s * s)) AS nrm FROM s2),
+e2 AS (SELECT id, CASE WHEN (SELECT nrm FROM n2) = 0 THEN s
+                  ELSE s / (SELECT nrm FROM n2) END AS rank FROM s2),
+s3 AS (SELECT n.id, coalesce(x.s, 0.0) AS s FROM e2 n LEFT JOIN
+       (SELECT e.dst AS id, sum(r.rank) AS s FROM eu e JOIN e2 r ON r.id = e.src
+        GROUP BY e.dst) x ON x.id = n.id),
+n3 AS (SELECT sqrt(sum(s * s)) AS nrm FROM s3),
+e3 AS (SELECT id, CASE WHEN (SELECT nrm FROM n3) = 0 THEN s
+                  ELSE s / (SELECT nrm FROM n3) END AS rank FROM s3)
+SELECT id AS repo, round(rank, 6) AS score FROM e3"""
+
+  /** Link-prediction kernels over canonical edges with src ≤ r000500. */
+  val linkPrediction: String = graphCte + """,
+pairs AS (SELECT src AS n1, dst AS n2 FROM es WHERE src <= 'r000500'),
+cnb AS (SELECT p.n1, p.n2, count(*) AS c,
+         sum(CASE WHEN dz.d > 1 THEN 1.0 / ln(dz.d) ELSE 0.0 END) AS aa,
+         sum(CASE WHEN dz.d > 0 THEN 1.0 / dz.d ELSE 0.0 END) AS ra
+       FROM pairs p
+       JOIN eu a ON a.src = p.n1
+       JOIN eu b ON b.src = p.n2 AND b.dst = a.dst
+       JOIN du dz ON dz.id = a.dst
+       GROUP BY p.n1, p.n2)
+SELECT p.n1 AS repo1, p.n2 AS repo2,
+  coalesce(cnb.c, 0) AS commonNeighbors,
+  coalesce(d1.d, 0) + coalesce(d2.d, 0) - coalesce(cnb.c, 0) AS totalNeighbors,
+  CAST(coalesce(d1.d, 0) * coalesce(d2.d, 0) AS DOUBLE) AS preferentialAttachment,
+  round(coalesce(cnb.aa, 0.0), 6) AS adamicAdar,
+  round(coalesce(cnb.ra, 0.0), 6) AS resourceAllocation
+FROM pairs p
+LEFT JOIN cnb ON cnb.n1 = p.n1 AND cnb.n2 = p.n2
+LEFT JOIN du d1 ON d1.id = p.n1
+LEFT JOIN du d2 ON d2.id = p.n2"""
+
+  /** SCC on the parity-directed view: component = max id in the SCC. */
+  val scc: String = graphCte + """,
+agg AS (SELECT src, dst, sum(weight) AS w FROM edges GROUP BY src, dst),
+d AS (SELECT CASE WHEN CAST(w AS BIGINT) % 2 = 1 THEN src ELSE dst END AS src,
+             CASE WHEN CAST(w AS BIGINT) % 2 = 1 THEN dst ELSE src END AS dst
+      FROM agg),
+reach AS (SELECT src AS a, dst AS b FROM d
+          UNION
+          SELECT r.a, d.dst AS b FROM reach r JOIN d ON d.src = r.b),
+mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+           JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+SELECT n.id AS repo,
+  greatest(n.id, coalesce(m.mx, n.id)) AS component_repo
+FROM nodes n LEFT JOIN
+  (SELECT v, max(u) AS mx FROM mutual GROUP BY v) m ON m.v = n.id"""
+
+  /** Closeness + harmonic on the induced subgraph of repos ≤ r000500. */
+  val closeness: String = graphCte + """,
+subn AS (SELECT id FROM nodes WHERE id <= 'r000500'),
+sube AS (SELECT src, dst FROM eu WHERE src <= 'r000500' AND dst <= 'r000500'),
+nsub AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM subn),
+reach AS (SELECT id, id AS s, 0 AS lvl FROM subn
+          UNION
+          SELECT e.dst AS id, r.s, r.lvl + 1 AS lvl FROM reach r
+          JOIN sube e ON e.src = r.id WHERE r.lvl < 15),
+dmin AS (SELECT id, s, min(lvl) AS dd FROM reach WHERE id <> s GROUP BY id, s),
+far AS (SELECT id, CAST(sum(dd) AS DOUBLE) AS f, count(*) AS rc,
+               sum(1.0 / dd) AS h FROM dmin GROUP BY id)
+SELECT n.id AS repo,
+  round(CASE WHEN coalesce(far.f, 0.0) > 0.0 THEN far.rc / far.f ELSE 0.0 END, 6) AS closeness,
+  round(coalesce(far.h, 0.0) / (SELECT n - 1.0 FROM nsub), 6) AS harmonic
+FROM subn n LEFT JOIN far ON far.id = n.id"""
+
   val all: Map[String, String] = Map(
+    "article_rank" -> articleRank,
+    "eigenvector" -> eigenvector,
+    "link_prediction" -> linkPrediction,
+    "scc" -> scc,
+    "closeness" -> closeness,
     "ingest_sha" -> ingestSha,
     "graph_edges" -> graphEdges,
     "graph_degree" -> degree,
