@@ -21,7 +21,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout (unprefixed: build.sbt sets run/outputStrategy := StdoutOutput so
+    // sbt does not wrap forked output in "[info] ") + a known file path, so
+    // the driver's parse can't miss it either way.
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

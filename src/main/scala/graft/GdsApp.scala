@@ -100,9 +100,14 @@ object GdsApp {
       spark.read.parquet(s"$store/$name/nodes"),
       spark.read.parquet(s"$store/$name/edges"))
 
+  /** Scan for `--key value` pairs anywhere in the arg list (positional
+   *  operands like the `run` subcommand's algorithm name don't shift the
+   *  window — fixed sliding(2,2) parsing misaligned and silently dropped
+   *  every option after a positional). */
   private def parseOpts(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    args.zipWithIndex.collect {
+      case (k, i) if k.startsWith("--") && i + 1 < args.length =>
+        k.stripPrefix("--") -> args(i + 1)
     }.toMap
 
   private def required(opts: Map[String, String], key: String): String =

@@ -37,9 +37,14 @@ object SparkEntry {
     "link_prediction" -> (G.linkPrediction _),
     "scc" -> (G.scc _),
     "closeness" -> (G.closeness _),
+    "betweenness" -> (G.betweenness _),
+    "sssp" -> (G.sssp _),
+    "node_similarity_weighted" -> (G.nodeSimilarityWeighted _),
     "louvain" -> (G.louvain _),
     "k1coloring" -> (G.k1coloring _),
     "random_walks" -> (G.randomWalks _),
+    "dfs" -> (G.dfs _),
+    "mst" -> (G.mst _),
     // training-data pipeline (oracle-checked)
     "dedup_exact" -> (P.dedupExact _),
     "dedup_minhash" -> (P.dedupMinhash _),

@@ -23,9 +23,15 @@ object ArticleRank {
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
     import Pregel._
     val d = config.dampingFactor
-    val edges = graph.aggregated(config.orientation, Aggregation.Sum)
-    val degrees = graph.degrees(config.orientation)
-      .select(col("id"), col("degree").cast("double").as("deg"))
+    // Parallel-edge multiplicity becomes the edge weight; degrees derive
+    // from the same materialized frame (one scan of the raw edges — see
+    // PageRank for the identical pre-work rationale).
+    val edges = graph.aggregated(config.orientation, Aggregation.Count).cutLineage()
+    val degrees = graph.nodes.select(col("id"))
+      .join(edges.groupBy(col("src").as("id")).agg(sum("weight").as("d")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("d"), lit(0.0)).as("deg"))
+      .cutLineage()
     val avgDeg = degrees.agg(avg("deg")).head().getDouble(0)
 
     val initial = degrees.select(
@@ -38,7 +44,7 @@ object ArticleRank {
     Pregel.run(
       initial = initial,
       edges = edges,
-      msgExpr = col(DELTA) / (col("deg") + avgDeg),
+      msgExpr = col(DELTA) * col("weight") / (col("deg") + avgDeg),
       combine = Combiners.sum,
       updateExprs = Seq(
         col("deg"),
@@ -86,8 +92,11 @@ object Eigenvector {
         .cutLineage()
       val norm = math.sqrt(
         raw.agg(sum(col("s") * col("s"))).head().getDouble(0))
+      // zero-norm fallback: keep the raw sums (all 0.0) — matches the SQL
+      // oracle's CASE WHEN nrm = 0 THEN s (ADVICE r1: engine/oracle must
+      // agree on edgeless graphs).
       val next =
-        if (norm == 0.0) raw.select(col("id"), col("old"), col("old").as("rank"))
+        if (norm == 0.0) raw.select(col("id"), col("old"), col("s").as("rank"))
         else raw.select(col("id"), col("old"), (col("s") / norm).as("rank"))
       val nextC = next.cutLineage()
       moved = nextC.agg(max(abs(col("rank") - col("old")))).head().getDouble(0)

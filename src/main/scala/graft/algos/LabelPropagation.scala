@@ -52,11 +52,13 @@ object LabelPropagation {
   /** @return (id, label) */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
     // partition once by the join key (dst — labels are pulled from the
-    // neighbor side); localCheckpoint preserves it across iterations.
+    // neighbor side); localCheckpoint (NOT cutLineage, which rebuilds the
+    // frame and drops outputPartitioning) preserves the layout across
+    // iterations so only the small label side shuffles per round.
     val edges = graph.oriented(config.orientation)
       .select(col("src"), col("dst"), col("weight"))
       .repartition(col("dst"))
-      .cutLineage()
+      .localCheckpoint(true)
 
     val initLabel = config.seedProperty match {
       case Some(p) => col(p).cast("long")

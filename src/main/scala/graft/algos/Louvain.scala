@@ -8,18 +8,28 @@ import org.apache.spark.sql.functions._
  * Modularity Optimization — gds.beta.modularityOptimization.* — the
  * parallel Louvain phase 1 of the reference
  * (algo/.../beta/modularity/ModularityOptimization.java:50-387, after Lu
- * et al. 2015): K1-color the graph, then sweep color classes; within a
- * color class all nodes move simultaneously (no two adjacent nodes share a
- * color, so parallel moves never race — the reference's coloring trick
- * maps 1:1 onto a synchronous Spark superstep per color).
+ * et al. 2015). The reference K1-colors the graph so that shared-memory
+ * threads never move two adjacent nodes in the same sweep; a synchronous
+ * Spark superstep has no races to avoid, and sequencing one Spark job
+ * chain per color is a driver-side scale-killer (O(colors·iterations)
+ * jobs — colors ≈ max degree on a link graph). Instead every iteration
+ * runs TWO all-node gain supersteps gated by vertex-id parity: even ids
+ * may move in the first sub-sweep, odd ids in the second. The parity gate
+ * is the deterministic oscillation guard (the classic 2-node A↔B swap
+ * cycle needs both endpoints moving on the same stale view; splitting
+ * movers by parity breaks the symmetry), and moves happen only on
+ * strictly positive gain, so modularity is non-decreasing in expectation
+ * and the tolerance test terminates the loop.
  *
  * Gain of moving node i to community c (constant factors dropped — only
  * the argmax matters):  k_{i,c} − k_i · Σtot'(c) / (2m)
- * where k_{i,c} = weight from i into c, k_i = weighted degree of i,
- * Σtot'(c) excludes i when c is i's own community. Ties → smaller
- * community id; a node moves only on strictly positive improvement over
- * staying. Defaults mirror the reference: maxIterations 10, tolerance
- * 1e-4 on modularity delta (ModularityOptimizationBaseConfig).
+ * where k_{i,c} = weight from i into c (excluding i's self-loop), k_i =
+ * weighted degree of i INCLUDING self-loop weight (A_ii convention: the
+ * symmetric view counts a self-loop twice, so contracted-graph internal
+ * weight keeps m and k_i invariant across Louvain levels), Σtot'(c)
+ * excludes i when c is i's own community. Ties → smaller community id.
+ * Defaults mirror the reference: maxIterations 10, tolerance 1e-4 on
+ * modularity delta (ModularityOptimizationBaseConfig).
  */
 object ModularityOptimization {
 
@@ -31,10 +41,12 @@ object ModularityOptimization {
   final case class Result(communities: DataFrame, modularity: Double,
       ranIterations: Int)
 
-  /** Symmetric weighted edge view (both directions), parallel edges summed. */
+  /** Symmetric weighted edge view (both directions), parallel edges summed.
+   *  Self-loops are KEPT: the undirected union lists a loop twice, giving
+   *  the standard A_ii = 2·w(loop) diagonal, which is what makes per-level
+   *  modularities comparable after contraction (ADVICE r1). */
   private def symEdges(graph: PropertyGraph): DataFrame =
     graph.aggregated(Orientation.Undirected, Aggregation.Sum)
-      .where(col("src") =!= col("dst"))
 
   def run(graph: PropertyGraph, config: Config = Config()): Result = {
     val ew = symEdges(graph).cutLineage()
@@ -43,18 +55,16 @@ object ModularityOptimization {
       val triv = graph.nodes.select(col("id"), col("id").as("community"))
       return Result(triv, 0.0, 0)
     }
+    // neighbor weights for gain computation: diagonal excluded (a node's
+    // self-loop follows it into any community — constant across choices).
+    val ewNoSelf = ew.where(col("src") =!= col("dst"))
 
-    // weighted degrees k_i
+    // weighted degrees k_i (self-loops counted twice via the symmetric view)
     val degw = ew.groupBy(col("src").as("id")).agg(sum("weight").as("k"))
     val nodes = graph.nodes.select(col("id"))
       .join(degw, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("k"), lit(0.0)).as("k"))
       .cutLineage()
-
-    // color classes for race-free parallel moves
-    val coloring = K1Coloring.run(graph).cutLineage()
-    val colorVals = coloring.select("color").distinct()
-      .collect().map(_.getLong(0)).sorted
 
     val initComm = config.seedProperty match {
       case Some(p) => graph.nodes.select(col("id"), col(p).cast("long").as("community"))
@@ -66,13 +76,13 @@ object ModularityOptimization {
     var iter = 0
     var improved = true
     while (improved && iter < config.maxIterations) {
-      for (c <- colorVals) {
+      for (parity <- 0 to 1) {
         val ctot = comm.join(nodes, Seq("id"))
           .groupBy("community").agg(sum("k").as("tot"))
-        val active = coloring.where(col("color") === c).select(col("id"))
+        val active = nodes.where(pmod(col("id"), lit(2)) === parity).select(col("id"))
 
         // k_{i,c}: weight from each active node into each neighbor community
-        val kic = ew
+        val kic = ewNoSelf
           .join(active.withColumnRenamed("id", "src"), Seq("src"))
           .join(comm.select(col("id").as("dst"), col("community")), Seq("dst"))
           .groupBy(col("src").as("id"), col("community"))
@@ -119,7 +129,8 @@ object ModularityOptimization {
     Result(comm, lastQ, iter)
   }
 
-  /** Q = Σ_c [ Σin(c)/(2m) − (Σtot(c)/(2m))² ] over the symmetric view. */
+  /** Q = Σ_c [ Σin(c)/(2m) − (Σtot(c)/(2m))² ] over the symmetric view
+   *  (diagonal included in both Σin and k — level-invariant normalization). */
   def modularity(ew: DataFrame, comm: DataFrame, m2: Double): Double = {
     val withComm = ew
       .join(comm.select(col("id").as("src"), col("community").as("cs")), Seq("src"))

@@ -46,17 +46,23 @@ object PageRank {
   def runWithMetrics(graph: PropertyGraph, config: Config): PregelResult = {
     import Pregel._
     val d = config.dampingFactor
-    val edges = graph.aggregated(config.orientation, Aggregation.Sum)
 
-    // static per-node scatter normalizer: outDegree or Σ out-weights.
+    // One aggregation pass over the oriented multigraph, materialized once:
+    // unweighted keeps the parallel-edge multiplicity as the edge weight
+    // (scatter = delta·mult/outDeg, exactly the reference's per-edge send,
+    // NonWeightedComputeStep.java:58-82), weighted sums the weights
+    // (WeightedComputeStep.java:61-97). Degrees then derive from THIS frame
+    // (Σ weight = outDegree resp. Σ out-weights), so the raw edge table is
+    // scanned exactly once before superstep 1 — round-1 re-derived both
+    // from the multigraph, two redundant full shuffles of pre-work.
+    val agg = if (config.weighted) Aggregation.Sum else Aggregation.Count
+    val edges = graph.aggregated(config.orientation, agg).cutLineage()
+
     val degCol = if (config.weighted) "wdeg" else "deg"
-    val degrees =
-      if (config.weighted)
-        graph.weightedDegrees(config.orientation)
-          .select(col("id"), col("weightedDegree").as(degCol))
-      else
-        graph.degrees(config.orientation)
-          .select(col("id"), col("degree").cast("double").as(degCol))
+    val degrees = graph.nodes.select(col("id"))
+      .join(edges.groupBy(col("src").as("id")).agg(sum("weight").as("d")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("d"), lit(0.0)).as(degCol))
 
     val initMass =
       if (config.sourceNodes.isEmpty) lit(1.0 - d)
@@ -74,9 +80,7 @@ object PageRank {
     val result = Pregel.run(
       initial = initial,
       edges = edges,
-      msgExpr =
-        if (config.weighted) col(DELTA) * col("weight") / col("wdeg")
-        else col(DELTA) / col("deg"),
+      msgExpr = col(DELTA) * col("weight") / col(degCol),
       combine = Combiners.sum,
       updateExprs = Seq(
         col(degCol),

@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
  */
 object Scc {
 
-  final case class Config(maxOuterIterations: Int = 50)
+  /** Every outer round assigns at least one SCC (the max-color root always
+   *  forms one), so the loop terminates without a cap; a finite
+   *  `maxOuterIterations` is a user-supplied budget and hitting it with
+   *  vertices still unassigned is an error, never a silent omission. */
+  final case class Config(maxOuterIterations: Int = Int.MaxValue)
 
   /** @return (id, component) — component = max id in the SCC */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
@@ -86,6 +90,10 @@ object Scc {
         .cutLineage()
       remaining = unassigned.count()
     }
+    if (remaining > 0)
+      throw new IllegalStateException(
+        s"SCC did not converge within ${config.maxOuterIterations} outer rounds; " +
+          s"$remaining vertices unassigned")
     result
   }
 }

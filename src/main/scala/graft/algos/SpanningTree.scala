@@ -1,0 +1,128 @@
+package graft.algos
+
+import graft.core._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Minimum spanning tree / forest — gds.alpha.spanningTree.* — the
+ * reference computes Prim sequentially from a start node
+ * (alpha/.../spanningTrees/Prim.java:49-118); a distributed engine uses
+ * Borůvka instead: every component picks its minimum crossing edge, chosen
+ * edges merge components, repeat — O(log V) rounds, each a join + min
+ * aggregate. Prim and Borůvka produce the SAME tree when edge weights are
+ * totally ordered; ties are broken (weight, src, dst) lexicographically,
+ * which makes weights distinct and the MST unique — so the result matches
+ * Prim's total weight exactly, and the edge set is deterministic under any
+ * parallelism.
+ */
+object SpanningTree {
+
+  /** Canonical undirected simple weighted view: a<b, min parallel weight. */
+  private def canonical(graph: PropertyGraph): DataFrame =
+    graph.edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("weight"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min("weight").as("weight"))
+
+  /** @return tree edges (src, dst, weight) with src<dst — one minimum
+   *  spanning tree per connected component (a forest on disconnected
+   *  graphs, like running Prim from every component). */
+  def minimumSpanningForest(graph: PropertyGraph): DataFrame = {
+    val canon = canonical(graph).cutLineage()
+    var comp = graph.nodes.select(col("id"), col("id").as("comp")).cutLineage()
+    var tree = canon.limit(0).cutLineage()
+    var crossing = 1L
+    while (crossing > 0) {
+      val e = canon
+        .join(comp.select(col("id").as("a"), col("comp").as("ca")), Seq("a"))
+        .join(comp.select(col("id").as("b"), col("comp").as("cb")), Seq("b"))
+        .where(col("ca") =!= col("cb"))
+        .cutLineage()
+      crossing = e.count()
+      if (crossing > 0) {
+        // each endpoint component nominates its min crossing edge; struct
+        // ordering = (weight asc, a asc, b asc) — the cycle-free tie-break.
+        val perComp = e
+          .select(col("ca").as("c"), struct(col("weight"), col("a"), col("b")).as("e"))
+          .unionByName(e.select(col("cb").as("c"),
+            struct(col("weight"), col("a"), col("b")).as("e")))
+          .groupBy("c").agg(min("e").as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"), col("e.weight").as("weight"))
+          .distinct()
+          .cutLineage()
+        tree = tree.unionByName(perComp).cutLineage()
+
+        // merge chosen components: min-label propagation with pointer
+        // jumping over the (tiny: one edge per component) merge graph.
+        val merges = perComp
+          .join(comp.select(col("id").as("a"), col("comp").as("ca")), Seq("a"))
+          .join(comp.select(col("id").as("b"), col("comp").as("cb")), Seq("b"))
+          .select(col("ca"), col("cb")).cutLineage()
+        var label = merges.select(col("ca").as("c"))
+          .unionByName(merges.select(col("cb").as("c"))).distinct()
+          .select(col("c"), col("c").as("l")).cutLineage()
+        var changed = 1L
+        while (changed > 0) {
+          val sym = merges.select(col("ca").as("x"), col("cb").as("y"))
+            .unionByName(merges.select(col("cb").as("x"), col("ca").as("y")))
+          val better = sym.join(label.select(col("c").as("y"), col("l")), Seq("y"))
+            .groupBy(col("x").as("c")).agg(min("l").as("nl"))
+          val hooked = label.join(better, Seq("c"), "left_outer")
+            .select(col("c"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+          // pointer jump: l := l(l) halves chain depth per round.
+          val next = hooked.as("t")
+            .join(hooked.select(col("c").as("jc"), col("l").as("jl")).as("p"),
+              col("t.l") === col("jc"), "left_outer")
+            .select(col("t.c").as("c"),
+              least(col("t.l"), coalesce(col("jl"), col("t.l"))).as("l"))
+            .cutLineage()
+          changed = next.as("n").join(label.select(col("c"), col("l").as("ol")), Seq("c"))
+            .where(col("l") =!= col("ol")).count()
+          label = next
+        }
+        comp = comp.join(label.select(col("c").as("comp"), col("l")), Seq("comp"), "left_outer")
+          .select(col("id"), coalesce(col("l"), col("comp")).as("comp"))
+          .cutLineage()
+      }
+    }
+    tree.select(col("a").as("src"), col("b").as("dst"), col("weight"))
+  }
+
+  /** Maximum spanning forest — Prim.MAX_OPERATOR (Prim.java:33-40):
+   *  Borůvka on negated weights, original weights restored. */
+  def maximumSpanningForest(graph: PropertyGraph): DataFrame = {
+    val neg = graph.copy(edges = graph.edges.withColumn("weight", -col("weight")))
+    minimumSpanningForest(neg).withColumn("weight", -col("weight"))
+  }
+
+  /** Prim surface: the MST of the component containing `startNode`
+   *  (Prim.java:49 — the reference only spans the start component). */
+  def spanningTree(graph: PropertyGraph, startNode: Long): DataFrame = {
+    val forest = minimumSpanningForest(graph).cutLineage()
+    val treeComp = Wcc.run(PropertyGraph.fromEdges(
+      forest.select(col("src"), col("dst"))))
+    val startComp = treeComp.where(col("id") === startNode)
+      .select(col("component")).head().getLong(0)
+    val members = treeComp.where(col("component") === startComp).select(col("id"))
+    forest
+      .join(members.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("src"), col("dst"), col("weight"))
+  }
+
+  /** k-spanning "tree" clustering (KSpanningTree.java:41): drop the k−1
+   *  heaviest MST edges, return the resulting cluster label per node. */
+  def kSpanningTree(graph: PropertyGraph, k: Int): DataFrame = {
+    val forest = minimumSpanningForest(graph).cutLineage()
+    val kept = forest
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("weight").desc, col("src").asc, col("dst").asc)))
+      .where(col("rk") > k - 1)
+      .select(col("src"), col("dst"))
+    val base = PropertyGraph(graph.nodes.select(col("id")),
+      PropertyGraph.normalizeEdges(kept))
+    Wcc.run(base).withColumnRenamed("component", "cluster")
+  }
+}

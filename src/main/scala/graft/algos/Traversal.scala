@@ -80,4 +80,75 @@ object Traversal {
 
     result.vertices.select(col("id"), col("dist").as("distance"))
   }
+
+  /** Exit-predicate outcomes — reference Traverse.ExitPredicate.Result. */
+  sealed trait Exit
+  object Exit {
+    case object Follow   extends Exit // visit + expand
+    case object Continue extends Exit // skip, keep traversing
+    case object Break    extends Exit // visit, stop the whole traversal
+  }
+
+  /**
+   * DFS / BFS visit-order traversal with exit predicate — gds.alpha.dfs /
+   * gds.alpha.bfs (alpha/.../impl/traverse/Traverse.java:34-77,110-155).
+   * Faithful to the reference's exact order: `visited` is marked at PUSH
+   * time, DFS pushes neighbors front-first in ascending adjacency order
+   * (so the largest neighbor pops first), BFS appends (FIFO, ascending).
+   *
+   * A visit ORDER is a sequential contract — the reference runs this
+   * single-threaded too — so the adjacency is collected to the driver,
+   * guarded by `maxCollectNodes`. At 100 TB scale use the distributed
+   * level/distance operators (bfsLevels / sssp); this operator exists for
+   * the reference's bounded exploratory API.
+   *
+   * @param targets   BREAK when popping one of these (it is included last)
+   * @param maxDepth  CONTINUE past nodes deeper than this (hop count)
+   * @return (id, visitOrder) in visit sequence, visitOrder 0-based
+   */
+  def traverse(graph: PropertyGraph, source: Long, dfs: Boolean,
+      targets: Set[Long] = Set.empty,
+      maxDepth: Long = Long.MaxValue,
+      orientation: Orientation = Orientation.Natural,
+      maxCollectNodes: Long = 5000000L): DataFrame = {
+    val spark = graph.spark
+    val nodeCount = graph.nodes.count()
+    require(nodeCount <= maxCollectNodes,
+      s"traverse() is a sequential visit-order operator; $nodeCount nodes exceeds " +
+        s"maxCollectNodes=$maxCollectNodes — use bfsLevels/sssp at scale")
+    val adj: Map[Long, Array[Long]] = graph.adjacency(orientation).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+    val visited = scala.collection.mutable.Set(source)
+    val inResult = scala.collection.mutable.Set[Long]()
+    val result = scala.collection.mutable.ArrayBuffer[Long]()
+    // deque of (node, depth); DFS = push front, BFS = push back
+    val deque = new java.util.ArrayDeque[(Long, Long)]()
+    deque.addFirst((source, 0L))
+    var break = false
+    while (!deque.isEmpty && !break) {
+      val (node, depth) = deque.removeFirst()
+      val exit: Exit =
+        if (targets.contains(node)) Exit.Break
+        else if (depth > maxDepth) Exit.Continue
+        else Exit.Follow
+      exit match {
+        case Exit.Break =>
+          if (inResult.add(node)) result += node
+          break = true
+        case Exit.Continue => () // skip expansion
+        case Exit.Follow =>
+          if (inResult.add(node)) result += node
+          for (t <- adj.getOrElse(node, Array.empty)) {
+            if (visited.add(t)) {
+              if (dfs) deque.addFirst((t, depth + 1))
+              else deque.addLast((t, depth + 1))
+            }
+          }
+      }
+    }
+    import spark.implicits._
+    result.toSeq.zipWithIndex.map { case (id, i) => (id, i.toLong) }
+      .toDF("id", "visitOrder")
+  }
 }

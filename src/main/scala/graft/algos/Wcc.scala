@@ -85,12 +85,10 @@ object Wcc {
   private def consecutive(comps: DataFrame): DataFrame = {
     val mapping = Ids.assign(comps.select(col("component")), "component")
       .withColumnRenamed("id", "newComponent")
-    comps.join(broadcastIfSmall(mapping), Seq("component"))
+    // the mapping has one row per component — orders of magnitude smaller
+    // than the vertex frame on a link graph — so broadcast it outright
+    // rather than shuffling the vertex side.
+    comps.join(broadcast(mapping), Seq("component"))
       .select(col("id"), col("newComponent").as("component"))
   }
-
-  private def broadcastIfSmall(df: DataFrame): DataFrame =
-    // component count is ≤ node count and usually tiny; let AQE decide
-    // unless the caller knows better.
-    df
 }

@@ -107,14 +107,16 @@ object Similarity {
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // one row per (vector, plane): sign bit of the projection
     val bits = v.crossJoin(broadcast(planes))
-      .select(col("id"), col("v"), col("p"),
+      .select(col("id"), col("p"),
         when(dot(col("v"), col("w")) > 0.0,
           expr("shiftleft(cast(1 as bigint), cast(p % " + bitsPerBand + " as int))"))
           .otherwise(0L).as("bit"))
-    // fold bits into one bucket value per (vector, band)
+    // fold bits into one bucket value per (vector, band) — ids only: the
+    // payload vector must NOT ride the band shuffle `bands`× (VERDICT r1);
+    // callers join vectors back per candidate, like Dedup's LSH.
     bits.groupBy(col("id"), (col("p") / bitsPerBand).cast("int").as("band"))
-      .agg(sum("bit").as("sig"), first("v").as("v"))
-      .select(col("id"), col("v"),
+      .agg(sum("bit").as("sig"))
+      .select(col("id"),
         concat(col("band"), lit("_"), col("sig")).as("bucket"))
   }
 
@@ -125,12 +127,18 @@ object Similarity {
   def lshTopK(vectors: DataFrame, k: Int = 10, bands: Int = 8, bitsPerBand: Int = 8,
       seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val buckets = lshBuckets(vectors, bands, bitsPerBand, seed, idCol, vecCol)
-    val l = buckets.select(col("bucket"), col("id").as("a"), col("v").as("va"))
-    val r = buckets.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
+    // candidate pairs on (id, bucket) alone — the narrow shuffle; vectors
+    // join back once per deduplicated candidate pair.
+    val l = buckets.select(col("bucket"), col("id").as("a"))
+    val r = buckets.select(col("bucket"), col("id").as("b"))
     val cand = l.join(r, Seq("bucket")).where(col("a") =!= col("b"))
-      .select(col("a"), col("b"), col("va"), col("vb"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
-    cand.select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    cand
+      .join(v.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(v.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
       .withColumn("rank",
         row_number().over(Window.partitionBy("a")
           .orderBy(col("cosine").desc, col("b").asc)))

@@ -178,6 +178,57 @@ object GraphQueries {
         round(col("similarity"), 6).as("similarity"), col("rank").cast("long").as("rank"))
   }
 
+  /** Weighted node similarity (Σmin/Σmax Jaccard), topK=5, endpoints
+   *  ≤ r002000 (same bound as the unweighted variant). */
+  def nodeSimilarityWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = graph(spark, dir)
+    val allowed = verts.where(col("repo") <= "r002000").select(col("id"))
+    val sims = NodeSimilarity.run(g, NodeSimilarity.Config(topK = 5,
+      weighted = true, orientation = Orientation.Undirected,
+      sourceNodes = Some(allowed)))
+    sims
+      .join(verts.select(col("id").as("node1"), col("repo").as("repo1")), Seq("node1"))
+      .join(verts.select(col("id").as("node2"), col("repo").as("repo2")), Seq("node2"))
+      .select(col("repo1"), col("repo2"),
+        round(col("similarity"), 6).as("similarity"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Weighted SSSP (Bellman-Ford relaxation, 10 synchronous rounds) from
+   *  the lexicographically-first repo over the undirected weighted graph;
+   *  unreached nodes omitted. */
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = graph(spark, dir)
+    val dist = Traversal.sssp(g, source = 0L,
+      orientation = Orientation.Undirected, maxIterations = 10)
+    toRepo(dist.where(col("distance") =!= Double.PositiveInfinity)
+      .select(col("id"), round(col("distance"), 6).as("distance")), verts, "distance")
+  }
+
+  /** DFS visit order from the first repo on the induced ≤ r000500
+   *  subgraph (sequential visit-order contract; rows-only check —
+   *  stack order has no tractable SQL oracle). */
+  def dfs(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val sub = verts.where(col("repo") <= "r000500").select(col("id"))
+    val subEdges = g.edges
+      .join(sub.withColumnRenamed("id", "src"), Seq("src"))
+      .join(sub.withColumnRenamed("id", "dst"), Seq("dst"))
+    val r = Traversal.traverse(PropertyGraph(sub, subEdges), source = 0L,
+      dfs = true, orientation = Orientation.Undirected)
+    toRepo(r, verts, "visitOrder")
+  }
+
+  /** Minimum spanning forest (Borůvka; Prim-equivalent weight) over the
+   *  weighted undirected graph; per-edge rows with canonical src<dst. */
+  def mst(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = graph(spark, dir)
+    val tree = SpanningTree.minimumSpanningForest(g)
+    tree
+      .join(verts.select(col("id").as("src"), col("repo").as("src_repo")), Seq("src"))
+      .join(verts.select(col("id").as("dst"), col("repo").as("dst_repo")), Seq("dst"))
+      .select(col("src_repo"), col("dst_repo"), col("weight"))
+  }
+
   /** BFS levels from the lexicographically-first repo (dense id 0). */
   def bfs(spark: SparkSession, dir: String): DataFrame = {
     val (g, verts) = simpleGraph(spark, dir)
@@ -256,6 +307,21 @@ object GraphQueries {
     toRepo(r.select(col("id"),
       round(col("closeness"), 6).as("closeness"),
       round(col("harmonic"), 6).as("harmonic")), verts, "closeness", "harmonic")
+  }
+
+  /** Betweenness (Brandes, all sources) on the subgraph induced by repos
+   *  ≤ r000500 — same exactness bound as `closeness`; sampled mode is the
+   *  full-graph scale path. */
+  def betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val sub = verts.where(col("repo") <= "r000500").select(col("id"))
+    val subEdges = g.edges
+      .join(sub.withColumnRenamed("id", "src"), Seq("src"))
+      .join(sub.withColumnRenamed("id", "dst"), Seq("dst"))
+    val subGraph = PropertyGraph(sub, subEdges)
+    val r = Betweenness.run(subGraph,
+      Betweenness.Config(orientation = Orientation.Undirected, maxDepth = 10))
+    toRepo(r.select(col("id"), round(col("score"), 6).as("score")), verts, "score")
   }
 
   /** Subgraph induced by repos ≤ r002000 — no-op at the correctness-gate

@@ -348,7 +348,88 @@ SELECT n.id AS repo,
   round(coalesce(far.h, 0.0) / (SELECT n - 1.0 FROM nsub), 6) AS harmonic
 FROM subn n LEFT JOIN far ON far.id = n.id"""
 
+  /** Brandes betweenness on the induced ≤ r000500 subgraph, fully unrolled:
+   *  per-level σ tables (σ_l(v) = Σ preds σ_{l−1}) then dependency tables
+   *  δ_l(v) = σ_l(v) · Σ_{succ w} (1+δ_{l+1}(w))/σ_{l+1}(w), BC = Σ_s δ / 2
+   *  (undirected). Level cap must match the engine's maxDepth. */
+  private def betweennessUnrolled(maxDepth: Int): String = {
+    // every chained CTE is MATERIALIZED: each sg/dl level is referenced up
+    // to 3× downstream, and DuckDB's default inlining would re-expand the
+    // whole chain per reference (exponential plan growth → hang).
+    val sg = (1 to maxDepth).map { l =>
+      s"""sg$l AS MATERIALIZED (SELECT t.v, t.s, sum(p.sg) AS sg
+         FROM sd t JOIN sube e ON e.dst = t.v JOIN sg${l - 1} p ON p.s = t.s AND p.v = e.src
+         WHERE t.dd = $l GROUP BY t.v, t.s)"""
+    }.mkString(",\n")
+    val dl = (maxDepth - 1 to 1 by -1).map { l =>
+      s"""dl$l AS MATERIALIZED (SELECT t.s, t.v, t.sg * coalesce(c.csum, 0.0) AS delta
+         FROM sg$l t LEFT JOIN (
+           SELECT w.s, e.src AS v, sum((1.0 + w.delta) / ws.sg) AS csum
+           FROM dl${l + 1} w JOIN sg${l + 1} ws ON ws.s = w.s AND ws.v = w.v
+           JOIN sube e ON e.dst = w.v GROUP BY w.s, e.src) c
+         ON c.s = t.s AND c.v = t.v)"""
+    }.mkString(",\n")
+    val unioned = (1 to maxDepth).map(l => s"SELECT s, v, delta FROM dl$l")
+      .mkString(" UNION ALL ")
+    s""",
+subn AS MATERIALIZED (SELECT id FROM nodes WHERE id <= 'r000500'),
+sube AS MATERIALIZED (SELECT src, dst FROM eu WHERE src <= 'r000500' AND dst <= 'r000500'),
+reach AS (SELECT id, id AS s, 0 AS lvl FROM subn
+          UNION
+          SELECT e.dst AS id, r.s, r.lvl + 1 AS lvl FROM reach r
+          JOIN sube e ON e.src = r.id WHERE r.lvl < $maxDepth),
+sd AS MATERIALIZED (SELECT id AS v, s, min(lvl) AS dd FROM reach GROUP BY id, s),
+sg0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(1 AS DOUBLE) AS sg FROM subn),
+$sg,
+dl$maxDepth AS MATERIALIZED (SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM sg$maxDepth),
+$dl,
+alld AS ($unioned),
+bcv AS (SELECT v, sum(delta) / 2.0 AS b FROM alld WHERE v <> s GROUP BY v)
+SELECT n.id AS repo, round(coalesce(bcv.b, 0.0), 6) AS score
+FROM subn n LEFT JOIN bcv ON bcv.v = n.id"""
+  }
+
+  val betweenness: String = graphCte + betweennessUnrolled(10)
+
+  /** Bellman-Ford unrolled `iters` rounds from the min repo over the
+   *  undirected min-parallel-weight view — identical to the engine's
+   *  synchronous relaxation after the same number of supersteps. */
+  private def ssspUnrolled(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT x.id, min(x.d) AS d FROM (
+         SELECT id, d FROM d${k - 1}
+         UNION ALL
+         SELECT e.dst AS id, p.d + e.w AS d
+         FROM d${k - 1} p JOIN ewmin e ON e.src = p.id) x GROUP BY x.id)"""
+    }.mkString(",\n")
+    s""",
+ewmin AS MATERIALIZED (SELECT src, dst, min(weight) AS w FROM
+  (SELECT src, dst, weight FROM edges
+   UNION ALL SELECT dst AS src, src AS dst, weight FROM edges) t GROUP BY src, dst),
+d0 AS (SELECT min(id) AS id, CAST(0.0 AS DOUBLE) AS d FROM nodes),
+$steps
+SELECT id AS repo, round(d, 6) AS distance FROM d$iters"""
+  }
+
+  val sssp: String = graphCte + ssspUnrolled(10)
+
+  val nodeSimilarityWeighted: String = graphCte + """,
+interw AS (SELECT l.src AS a, r.src AS b, sum(least(l.w, r.w)) AS smin
+           FROM ew l JOIN ew r ON l.dst = r.dst AND l.src <> r.src
+           WHERE l.src <= 'r002000' AND r.src <= 'r002000'
+           GROUP BY l.src, r.src),
+simw AS (SELECT a, b, smin / (da.wd + db.wd - smin) AS s
+         FROM interw JOIN wdeg da ON da.id = a JOIN wdeg db ON db.id = b),
+rankedw AS (SELECT a, b, s, row_number() OVER
+             (PARTITION BY a ORDER BY s DESC, b ASC) AS rank
+            FROM simw WHERE s >= 1e-42)
+SELECT a AS repo1, b AS repo2, round(s, 6) AS similarity, CAST(rank AS BIGINT) AS rank
+FROM rankedw WHERE rank <= 5"""
+
   val all: Map[String, String] = Map(
+    "betweenness" -> betweenness,
+    "sssp" -> sssp,
+    "node_similarity_weighted" -> nodeSimilarityWeighted,
     "article_rank" -> articleRank,
     "eigenvector" -> eigenvector,
     "link_prediction" -> linkPrediction,
