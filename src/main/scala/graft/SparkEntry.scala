@@ -45,6 +45,7 @@ object SparkEntry {
     "random_walks" -> (G.randomWalks _),
     "dfs" -> (G.dfs _),
     "mst" -> (G.mst _),
+    "fastrp" -> (G.fastrp _),
     // training-data pipeline (oracle-checked)
     "dedup_exact" -> (P.dedupExact _),
     "dedup_minhash" -> (P.dedupMinhash _),

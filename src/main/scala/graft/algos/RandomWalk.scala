@@ -6,19 +6,23 @@ import org.apache.spark.sql.functions._
 
 /**
  * Random walks — gds.alpha.randomWalk.stream
- * (alpha/.../impl/walking/RandomWalk.java:45, node2vec (p,q) bias):
- * `walksPerNode` walks of length `steps` from each start node.
+ * (alpha/.../impl/walking/RandomWalk.java:45, node2vec (p,q) bias per
+ * Grover & Leskovec 2016): `walksPerNode` walks of length `steps` from
+ * each start node.
  *
  * Spark-native determinism: instead of per-thread RNGs (the reference's
- * approach, irreproducible across schedulings), the "random" choice at
- * step t of walk w is `xxhash64(walkId, t, seed) % degree(current)` — a
- * pure function of (walk, step, seed), so the output is identical at any
- * parallelism. Each step is one join against the sorted adjacency table
- * (element_at picks the neighbor); walks advance in lockstep supersteps.
+ * approach, irreproducible across schedulings), the "random" draw at step
+ * t of walk w is a pure function of (walkId, t, seed) via xxhash64, so the
+ * output is identical at any parallelism. Each step is one join against
+ * the sorted adjacency table; walks advance in lockstep supersteps.
  *
- * node2vec bias: the uniform choice above corresponds to p=q=1; the biased
- * variant would weight the modulo draw by the (return/in-out) class of
- * each candidate — out of scope for this slice, noted for parity.
+ * node2vec bias (NodeWalker.java second-order transition): from current v
+ * with previous u, candidate x draws unnormalized weight 1/p when x = u
+ * (return), 1 when x is adjacent to u (stay close), 1/q otherwise
+ * (explore). The draw picks the first index whose cumulative weight
+ * exceeds target = u01(walkId, step) · Σweights — computed inside one
+ * codegen'd `aggregate` over the neighbor array, no UDFs. p = q = 1 takes
+ * the uniform fast path (one adjacency join per step instead of two).
  */
 object RandomWalk {
 
@@ -26,11 +30,14 @@ object RandomWalk {
       steps: Int = 10,
       walksPerNode: Int = 1,
       seed: Long = 42L,
+      returnParam: Double = 1.0,   // p
+      inOutParam: Double = 1.0,    // q
       orientation: Orientation = Orientation.Natural)
 
-  /** @return (walkId, startNode, path: array<long>) */
+  /** @return (walkId, start, path: array<long>) */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
     val adj = graph.adjacency(config.orientation).cutLineage()
+    val biased = config.returnParam != 1.0 || config.inOutParam != 1.0
 
     var walks = graph.nodes.select(col("id").as("start"))
       .crossJoin(spark_range(graph.nodes.sparkSession, config.walksPerNode))
@@ -43,20 +50,55 @@ object RandomWalk {
       .cutLineage()
 
     for (step <- 1 to config.steps) {
-      walks = walks
+      val withNbrs = walks
         .join(adj.select(col("id").as("current"), col("neighbors")),
           Seq("current"), "left_outer")
-        .select(col("walkId"), col("start"), col("path"),
-          col("neighbors"),
+        .select(col("walkId"), col("start"), col("path"), col("neighbors"),
           (col("stopped") || col("neighbors").isNull ||
             size(col("neighbors")) === 0).as("stopped"))
-        .select(col("walkId"), col("start"),
-          when(col("stopped"), col("path"))
-            .otherwise(concat(col("path"), array(element_at(col("neighbors"),
-              (pmod(xxhash64(col("walkId"), lit(step), lit(config.seed)),
-                size(col("neighbors")).cast("long")) + 1).cast("int")))))
-            .as("path"),
-          col("stopped"))
+
+      val chosen =
+        if (!biased)
+          element_at(col("neighbors"),
+            (pmod(xxhash64(col("walkId"), lit(step), lit(config.seed)),
+              size(col("neighbors")).cast("long")) + 1).cast("int"))
+        else col("chosenNbr")
+
+      val stepped =
+        (if (!biased) withNbrs
+         else {
+           // second-order bias needs prev and prev's adjacency
+           val withPrev = withNbrs.withColumn("prev",
+             when(size(col("path")) >= 2, element_at(col("path"), -2)))
+             .join(adj.select(col("id").as("prev"), col("neighbors").as("prevNbrs")),
+               Seq("prev"), "left_outer")
+           val u01 = pmod(xxhash64(col("walkId"), lit(step), lit(config.seed)),
+             lit(1000000L)).cast("double") / 1e6
+           withPrev
+             .withColumn("ws", expr(
+               s"""transform(neighbors, x -> CASE
+                   WHEN prev IS NULL THEN 1.0D
+                   WHEN x = prev THEN ${1.0 / config.returnParam}D
+                   WHEN array_contains(prevNbrs, x) THEN 1.0D
+                   ELSE ${1.0 / config.inOutParam}D END)"""))
+             .withColumn("tgt", u01 * expr("aggregate(ws, 0.0D, (a, w) -> a + w)"))
+             .withColumn("chosenNbr", expr(
+               """element_at(neighbors, aggregate(ws,
+                    named_struct('cum', 0.0D, 'chosen', -1, 'i', 1),
+                    (acc, w) -> named_struct(
+                      'cum', acc.cum + w,
+                      'chosen', CASE WHEN acc.chosen = -1 AND acc.cum + w >= tgt
+                                THEN acc.i ELSE acc.chosen END,
+                      'i', acc.i + 1),
+                    acc -> CASE WHEN acc.chosen = -1 THEN acc.i - 1
+                           ELSE acc.chosen END))"""))
+         })
+          .select(col("walkId"), col("start"),
+            when(col("stopped"), col("path"))
+              .otherwise(concat(col("path"), array(chosen))).as("path"),
+            col("stopped"))
+
+      walks = stepped
         .select(col("walkId"), col("start"), col("path"),
           element_at(col("path"), -1).as("current"), col("stopped"))
         .cutLineage()

@@ -1,0 +1,202 @@
+package graft.algos
+
+import graft.core._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Weighted shortest-path family — gds.alpha.shortestPath (Dijkstra),
+ * gds.alpha.shortestPath.astar (alpha/.../shortestpaths/ShortestPathAStar.java:40),
+ * gds.alpha.kShortestPaths (YensKShortestPaths.java:47).
+ *
+ * One relaxation core serves all three: synchronous min-relaxation with
+ * predecessor tracking (message = struct(dist, pred), combiner = struct
+ * min — dist asc, pred asc, a total order so results are deterministic
+ * under any parallelism). A* adds goal-directed pruning: once the target
+ * has a finite distance UB, any node with dist + h(node) ≥ UB stops
+ * scattering (with an admissible heuristic it cannot improve the target —
+ * exactly the reference's closed-set cutoff role; h = 0 degrades to plain
+ * Dijkstra). Yen's runs the core repeatedly with root-path node/edge
+ * exclusions (YensKShortestPathsDijkstra.withFilter).
+ *
+ * Path reconstruction walks the predecessor column backwards from the
+ * target — O(pathLength) tiny lookups, only after the distributed fixpoint
+ * has converged.
+ */
+object ShortestPaths {
+
+  final case class PathResult(path: Seq[Long], cost: Double)
+
+  /** Distributed relaxation with predecessor tracking.
+   *  @param heuristic optional (id, h) frame enabling A* pruning toward `target`
+   *  @return (id, dist, pred) — pred null for source/unreached */
+  def relax(
+      edges: DataFrame, // (src, dst, weight), orientation applied
+      nodes: DataFrame, // (id)
+      source: Long,
+      target: Option[Long] = None,
+      heuristic: Option[DataFrame] = None,
+      maxIterations: Int = 100): DataFrame = {
+    val h = heuristic.map(_.select(col("id"), col("h").cast("double").as("h")))
+    val base = nodes.select(
+      col("id"),
+      when(col("id") === source, 0.0).otherwise(lit(Double.PositiveInfinity)).as("dist"),
+      lit(null).cast("long").as("pred"),
+      (col("id") === source).as("active"))
+    var state = (h match {
+      case Some(hf) => base.join(hf, Seq("id"), "left_outer")
+        .withColumn("h", coalesce(col("h"), lit(0.0)))
+      case None => base.withColumn("h", lit(0.0))
+    }).cutLineage()
+    val edgesPart = edges.repartition(col("src")).localCheckpoint(true)
+
+    var iter = 0
+    var active = 1L
+    while (active > 0 && iter < maxIterations) {
+      val frontier = state.where(col("active"))
+        .select(col("id").as("src"), col("dist").as("sd"))
+      val msgs = edgesPart.join(frontier, Seq("src"))
+        .select(col("dst").as("id"),
+          struct((col("sd") + col("weight")).as("d"), col("src").as("p")).as("m"))
+        .groupBy("id").agg(min("m").as("m"))
+      val ub = target match {
+        case Some(t) =>
+          state.where(col("id") === t).select(col("dist")).head().getDouble(0)
+        case None => Double.PositiveInfinity
+      }
+      val improved = col("m").isNotNull && col("m")("d") < col("dist")
+      state = state.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(improved, col("m")("d")).otherwise(col("dist")).as("dist"),
+          when(improved, col("m")("p")).otherwise(col("pred")).as("pred"),
+          // A* cutoff: an improved node rescatters only if it could still
+          // better the known target distance.
+          (improved &&
+            (when(improved, col("m")("d")).otherwise(col("dist")) + col("h") < ub))
+            .as("active"),
+          col("h"))
+        .cutLineage()
+      active = state.where(col("active")).count()
+      iter += 1
+    }
+    state.select(col("id"), col("dist"), col("pred"))
+  }
+
+  /** Walk preds target→source. None when target unreached. */
+  def reconstruct(relaxed: DataFrame, source: Long, target: Long): Option[PathResult] = {
+    val tRow = relaxed.where(col("id") === target)
+      .select(col("dist"), col("pred")).head()
+    val cost = tRow.getDouble(0)
+    if (cost.isInfinity) return None
+    var path = List(target)
+    var cur = target
+    while (cur != source) {
+      val p = relaxed.where(col("id") === cur).select(col("pred")).head()
+      if (p.isNullAt(0)) return None
+      cur = p.getLong(0)
+      path = cur :: path
+    }
+    Some(PathResult(path, cost))
+  }
+
+  /** Plain weighted Dijkstra path source→target. */
+  def dijkstra(graph: PropertyGraph, source: Long, target: Long,
+      orientation: Orientation = Orientation.Natural,
+      maxIterations: Int = 100): Option[PathResult] = {
+    val e = graph.aggregated(orientation, Aggregation.Min)
+    val r = relax(e, graph.nodes.select(col("id")), source,
+      maxIterations = maxIterations).cutLineage()
+    reconstruct(r, source, target)
+  }
+
+  /** A* with a per-node admissible heuristic (id, h) — same result as
+   *  Dijkstra, fewer scattered frontiers (ShortestPathAStar.java:40). */
+  def aStar(graph: PropertyGraph, source: Long, target: Long,
+      heuristic: DataFrame,
+      orientation: Orientation = Orientation.Natural,
+      maxIterations: Int = 100): Option[PathResult] = {
+    val e = graph.aggregated(orientation, Aggregation.Min)
+    val r = relax(e, graph.nodes.select(col("id")), source, Some(target),
+      Some(heuristic), maxIterations).cutLineage()
+    reconstruct(r, source, target)
+  }
+
+  /** Dijkstra with excluded directed edges / nodes — the primitive Yen's
+   *  spur computation needs (YensTest filter semantics: directed pairs). */
+  def filteredDijkstra(graph: PropertyGraph, source: Long, target: Long,
+      excludedEdges: Set[(Long, Long)], excludedNodes: Set[Long],
+      orientation: Orientation = Orientation.Natural,
+      maxIterations: Int = 100): Option[PathResult] = {
+    val e0 = graph.aggregated(orientation, Aggregation.Min)
+    val eEdge = excludedEdges.foldLeft(e0) { case (f, (s, t)) =>
+      f.where(!(col("src") === s && col("dst") === t))
+    }
+    val e = if (excludedNodes.isEmpty) eEdge
+      else eEdge.where(!col("src").isin(excludedNodes.toSeq: _*) &&
+        !col("dst").isin(excludedNodes.toSeq: _*))
+    val nodes = if (excludedNodes.isEmpty) graph.nodes.select(col("id"))
+      else graph.nodes.select(col("id")).where(!col("id").isin(excludedNodes.toSeq: _*))
+    val r = relax(e, nodes, source, maxIterations = maxIterations).cutLineage()
+    reconstruct(r, source, target)
+  }
+
+  /**
+   * Yen's K loopless shortest paths (YensKShortestPaths.java:47): spur on
+   * every prefix of the last accepted path, exclude the root-path edges
+   * used by already-accepted paths sharing that prefix, candidates ranked
+   * (cost asc, path lexicographic) for determinism.
+   * @return ordered paths, best first
+   */
+  def yens(graph: PropertyGraph, source: Long, target: Long, k: Int,
+      orientation: Orientation = Orientation.Natural,
+      maxIterations: Int = 100): Seq[PathResult] = {
+    val first = dijkstra(graph, source, target, orientation, maxIterations)
+      .getOrElse(return Seq.empty)
+    val accepted = scala.collection.mutable.ArrayBuffer(first)
+    // candidate pool keyed by path to dedup
+    val candidates = scala.collection.mutable.Map[Seq[Long], Double]()
+
+    while (accepted.size < k) {
+      val prev = accepted.last.path
+      for (i <- 0 until prev.length - 1) {
+        val spurNode = prev(i)
+        val rootPath = prev.take(i + 1)
+        val rootCost = pathCost(graph, rootPath, orientation)
+        val removedEdges = accepted.map(_.path)
+          .filter(p => p.length > i && p.take(i + 1) == rootPath)
+          .map(p => (p(i), p(i + 1))).toSet
+        val removedNodes = rootPath.dropRight(1).toSet
+        filteredDijkstra(graph, spurNode, target, removedEdges, removedNodes,
+          orientation, maxIterations).foreach { spur =>
+          val total = rootPath.dropRight(1) ++ spur.path
+          if (!accepted.exists(_.path == total))
+            candidates.get(total) match {
+              case Some(_) => ()
+              case None => candidates(total) = rootCost + spur.cost
+            }
+        }
+      }
+      if (candidates.isEmpty) return accepted.toSeq
+      val best = candidates.toSeq
+        .minBy { case (p, c) => (c, p.map(_.toString).mkString(",")) }(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
+      candidates.remove(best._1)
+      accepted += PathResult(best._1, best._2)
+    }
+    accepted.toSeq
+  }
+
+  /** Σ min-weight of consecutive pairs (driver-side; paths are short). */
+  private def pathCost(graph: PropertyGraph, path: Seq[Long],
+      orientation: Orientation): Double = {
+    if (path.length < 2) return 0.0
+    val pairs = path.sliding(2).map(p => (p(0), p(1))).toSeq
+    val e = graph.aggregated(orientation, Aggregation.Min)
+    val cond = pairs.map { case (s, t) => col("src") === s && col("dst") === t }
+      .reduce(_ || _)
+    val found = e.where(cond)
+      .select(col("src"), col("dst"), col("weight")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.map(found).sum
+  }
+}

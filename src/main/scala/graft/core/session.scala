@@ -71,6 +71,20 @@ object ExecutionModes {
     val rows = result.sparkSession.read.parquet(path).count()
     WriteResult(rows, System.currentTimeMillis() - t0, path)
   }
+
+  /** Seeded-only write — the reference's LongIfChanged property translator
+   *  (core/.../write/LongIfChangedNodeProperties.java): with a seed
+   *  property configured, persist ONLY the rows whose computed value
+   *  differs from the seed (unchanged seeded nodes are skipped). */
+  def writeIfChanged(g: PropertyGraph, result: DataFrame, valueCol: String,
+      seedProperty: String, path: String): WriteResult = {
+    val changed = result
+      .join(g.nodes.select(col("id"), col(seedProperty).cast("long").as("_seed")),
+        Seq("id"), "left_outer")
+      .where(col("_seed").isNull || col(valueCol).cast("long") =!= col("_seed"))
+      .drop("_seed")
+    write(changed, path)
+  }
 }
 
 /**
@@ -120,6 +134,31 @@ final case class GraphOps(name: String, g: PropertyGraph) {
     Louvain.run(g, config).communities
   def bfs(source: Long): DataFrame = Traversal.bfsLevels(g, source)
   def sssp(source: Long): DataFrame = Traversal.sssp(g, source)
+  def betweenness(config: Betweenness.Config = Betweenness.Config()): DataFrame =
+    Betweenness.run(g, config)
+  def closeness(config: Closeness.Config = Closeness.Config()): DataFrame =
+    Closeness.run(g, config)
+  def articleRank(config: ArticleRank.Config = ArticleRank.Config()): DataFrame =
+    ArticleRank.run(g, config)
+  def eigenvector(config: Eigenvector.Config = Eigenvector.Config()): DataFrame =
+    Eigenvector.run(g, config)
+  def scc(config: Scc.Config = Scc.Config()): DataFrame = Scc.run(g, config)
+  def k1coloring(): DataFrame = K1Coloring.run(g)
+  def randomWalk(config: RandomWalk.Config = RandomWalk.Config()): DataFrame =
+    RandomWalk.run(g, config)
+  def fastRP(config: graft.pipeline.FastRP.Config = graft.pipeline.FastRP.Config()): DataFrame =
+    graft.pipeline.FastRP.run(g, config)
+  def spanningTree(startNode: Long): DataFrame = SpanningTree.spanningTree(g, startNode)
+  def shortestPath(source: Long, target: Long): Option[ShortestPaths.PathResult] =
+    ShortestPaths.dijkstra(g, source, target)
+  def kShortestPaths(source: Long, target: Long, k: Int): Seq[ShortestPaths.PathResult] =
+    ShortestPaths.yens(g, source, target, k)
+
+  // estimate mode (F5)
+  def pageRankEstimate(): MemoryEstimation.Estimate = MemoryEstimation.pageRank(g)
+  def wccEstimate(): MemoryEstimation.Estimate = MemoryEstimation.wcc(g)
+  def nodeSimilarityEstimate(): MemoryEstimation.Estimate =
+    MemoryEstimation.nodeSimilarity(g)
 
   // stats mode
   def wccStats(): StatsResult = {

@@ -51,7 +51,7 @@ object GraphQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (PropertyGraph, DataFrame)]()
 
   /** Drop cached frames (required when the SparkSession is recreated). */
-  def clearCache(): Unit = cache.clear()
+  def clearCache(): Unit = { cache.clear(); simpleCache.clear() }
 
   /** (graph over dense ids, vertices(repo,id)) — the full ingest path. */
   def graph(spark: SparkSession, dir: String): (PropertyGraph, DataFrame) =
@@ -65,11 +65,22 @@ object GraphQueries {
       (PropertyGraph(verts.select(col("id")), edges), verts)
     })
 
-  /** Graph reduced to distinct simple canonical edges (src<dst). */
+  private val simpleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Graph reduced to distinct simple canonical edges (src<dst). The
+   *  distinct() is itself a full shuffle of the edge table, so the result
+   *  is persisted once per input dir — round 1 recomputed it inside every
+   *  one of the ~20 simple-graph queries. */
   def simpleGraph(spark: SparkSession, dir: String): (PropertyGraph, DataFrame) = {
     val (g, verts) = graph(spark, dir)
-    val simple = g.edges.select(col("src"), col("dst")).distinct()
-      .withColumn("type", lit("REL")).withColumn("weight", lit(1.0))
+    val simple = simpleCache.computeIfAbsent(dir, { _ =>
+      val s = g.edges.select(col("src"), col("dst")).distinct()
+        .withColumn("type", lit("REL")).withColumn("weight", lit(1.0))
+        .persist()
+      s.count()
+      s
+    })
     (PropertyGraph(g.nodes, simple), verts)
   }
 
@@ -351,6 +362,15 @@ object GraphQueries {
   def k1coloring(spark: SparkSession, dir: String): DataFrame = {
     val (g, verts) = inducedGraph(spark, dir)
     toRepo(K1Coloring.run(g), verts, "color")
+  }
+
+  /** FastRP embeddings (rows-only: hash-seeded random projections have no
+   *  portable SQL oracle; structural properties pinned in FastRPSpec). */
+  def fastrp(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val emb = graft.pipeline.FastRP.run(g,
+      graft.pipeline.FastRP.Config(embeddingSize = 32))
+    emb.join(verts, Seq("id")).select(col("repo"), col("embedding"))
   }
 
   /** Random walks from each repo (rows-only; xxhash64-seeded choices). */
