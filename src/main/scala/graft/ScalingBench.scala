@@ -62,8 +62,14 @@ object ScalingBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SCALE_SHUFFLE_MULT", "1").toInt * cpus)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_SCALE_AQE", "true"))
+      // a replicated-graph level holds multi-GB block sets; tolerate long
+      // GC pauses instead of declaring the (in-process) executor dead
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -98,30 +104,41 @@ object ScalingBench {
 
       // undirected runs see 2x the canonical edge count per superstep
       val workEdges = 2.0 * edgeCount
+      val algos = sys.env.getOrElse("SPARK_SCALE_ALGOS", "pagerank,wcc,lpa,triangle_count")
+        .split(",").map(_.trim).toSet
 
-      val (pr, prSec) = time {
-        PageRank.runWithMetrics(g, PageRank.Config(maxIterations = 20,
-          tolerance = 1e-7, orientation = Orientation.Undirected))
+      val timings = scala.collection.mutable.ArrayBuffer[AlgoTiming]()
+      if (algos("pagerank")) {
+        val (pr, prSec) = time {
+          PageRank.runWithMetrics(g, PageRank.Config(maxIterations = 20,
+            tolerance = 1e-7, orientation = Orientation.Undirected))
+        }
+        // per-superstep breakdown: the fixed-vs-scaling cost split
+        System.err.println(s"[scaling] local[$cpus] pagerank superstep ms: " +
+          pr.metrics.map(_.wallMillis).mkString(","))
+        timings += AlgoTiming("pagerank", prSec, pr.supersteps,
+          workEdges * pr.supersteps / prSec)
       }
-      val (wccPair, wccSec) = time {
-        val (r, m) = Wcc.runWithMetrics(g)
-        r.count(); (r, m)
+      if (algos("wcc")) {
+        val (wccPair, wccSec) = time {
+          val (r, m) = Wcc.runWithMetrics(g)
+          r.count(); (r, m)
+        }
+        timings += AlgoTiming("wcc", wccSec, wccPair._2.supersteps,
+          workEdges * wccPair._2.supersteps / wccSec)
       }
-      val wccSteps = wccPair._2.supersteps
-      val (lpaR, lpaSec) = time {
-        val r = LabelPropagation.run(g, LabelPropagation.Config(maxIterations = 10))
-        r.count(); r
+      if (algos("lpa")) {
+        val (_, lpaSec) = time {
+          val r = LabelPropagation.run(g, LabelPropagation.Config(maxIterations = 10))
+          r.count(); r
+        }
+        timings += AlgoTiming("lpa", lpaSec, 10, workEdges * 10 / lpaSec)
       }
-      val (tc, tcSec) = time(TriangleCount.globalCount(g))
-
-      val timings = Seq(
-        AlgoTiming("pagerank", prSec, pr.supersteps,
-          workEdges * pr.supersteps / prSec),
-        AlgoTiming("wcc", wccSec, wccSteps,
-          workEdges * wccSteps / wccSec),
-        AlgoTiming("lpa", lpaSec, 10, workEdges * 10 / lpaSec),
-        AlgoTiming("triangle_count", tcSec, 1, edgeCount / tcSec))
-      (edgeCount, timings)
+      if (algos("triangle_count")) {
+        val (_, tcSec) = time(TriangleCount.globalCount(g))
+        timings += AlgoTiming("triangle_count", tcSec, 1, edgeCount / tcSec)
+      }
+      (edgeCount, timings.toSeq)
     } finally {
       GraphQueries.clearCache()
       spark.stop()

@@ -39,6 +39,7 @@ object SparkEntry {
     "closeness" -> (G.closeness _),
     "betweenness" -> (G.betweenness _),
     "sssp" -> (G.sssp _),
+    "all_shortest_paths" -> (G.allShortestPaths _),
     "node_similarity_weighted" -> (G.nodeSimilarityWeighted _),
     "louvain" -> (G.louvain _),
     "k1coloring" -> (G.k1coloring _),

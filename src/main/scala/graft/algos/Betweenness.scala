@@ -41,7 +41,10 @@ object Betweenness {
   }
 
   /** @return (id, score) for every node (0.0 where no dependency). */
-  def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+  def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
+    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+
+  private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val divisor = if (config.orientation == Orientation.Undirected) 2.0 else 1.0
     val edges = graph.aggregated(config.orientation, Aggregation.Count)
       .select(col("src"), col("dst"))

@@ -72,7 +72,10 @@ object Eigenvector {
       orientation: Orientation = Orientation.Natural)
 
   /** @return (id, score) */
-  def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+  def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
+    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+
+  private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val edges = graph.aggregated(config.orientation, Aggregation.Sum)
       .select(col("src"), col("dst")).cutLineage()
     val n = graph.nodes.count()
@@ -100,6 +103,8 @@ object Eigenvector {
         else raw.select(col("id"), col("old"), (col("s") / norm).as("rank"))
       val nextC = next.cutLineage()
       moved = nextC.agg(max(abs(col("rank") - col("old")))).head().getDouble(0)
+      Lineage.release(ranks)
+      Lineage.release(raw)
       ranks = nextC.select(col("id"), col("rank"))
       iter += 1
     }

@@ -33,7 +33,10 @@ object Closeness {
       orientation: Orientation = Orientation.Undirected)
 
   /** @return (id, closeness, harmonic) */
-  def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+  def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
+    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+
+  private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val spark = graph.nodes.sparkSession
     val edges = graph.oriented(config.orientation)
       .select(col("src"), col("dst")).distinct()

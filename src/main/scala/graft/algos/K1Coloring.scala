@@ -22,7 +22,10 @@ object K1Coloring {
   final case class Config(maxIterations: Int = 50)
 
   /** @return (id, color) proper coloring of the undirected simple graph */
-  def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+  def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
+    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+
+  private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     // undirected distinct neighbor relation
     val eu = graph.oriented(Orientation.Undirected)
       .select(col("src"), col("dst")).where(col("src") =!= col("dst")).distinct()
@@ -57,10 +60,12 @@ object K1Coloring {
         .where(col("ca") === col("cb"))
         .select(greatest(col("src"), col("dst")).as("id")).distinct()
 
-      colors = recolored
+      val next = recolored
         .join(conflicts.withColumn("q", lit(true)), Seq("id"), "left_outer")
         .select(col("id"), col("color"), coalesce(col("q"), lit(false)).as("queued"))
         .cutLineage()
+      Lineage.release(colors)
+      colors = next
 
       queued = colors.where(col("queued")).count()
       iter += 1

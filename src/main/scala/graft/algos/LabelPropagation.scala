@@ -50,7 +50,10 @@ object LabelPropagation {
       pregel: PregelConfig = PregelConfig())
 
   /** @return (id, label) */
-  def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+  def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
+    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+
+  private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     // partition once by the join key (dst — labels are pulled from the
     // neighbor side); localCheckpoint (NOT cutLineage, which rebuilds the
     // frame and drops outputPartitioning) preserves the layout across
@@ -93,6 +96,7 @@ object LabelPropagation {
         .cutLineage()
 
       changed = updated.where(col("ch")).count()
+      Lineage.release(labels)
       labels = updated.drop("ch")
       iter += 1
     }

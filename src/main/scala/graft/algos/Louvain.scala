@@ -48,7 +48,10 @@ object ModularityOptimization {
   private def symEdges(graph: PropertyGraph): DataFrame =
     graph.aggregated(Orientation.Undirected, Aggregation.Sum)
 
-  def run(graph: PropertyGraph, config: Config = Config()): Result = {
+  def run(graph: PropertyGraph, config: Config = Config()): Result =
+    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+
+  private def runImpl(graph: PropertyGraph, config: Config): Result = {
     val ew = symEdges(graph).cutLineage()
     val m2 = ew.agg(sum("weight")).head().getDouble(0) // = 2m (each edge twice)
     if (m2 == 0.0) {
@@ -117,9 +120,11 @@ object ModularityOptimization {
           .where(col("bestGain") > col("curGain"))
           .select(col("id"), col("newComm"))
 
-        comm = comm.join(best, Seq("id"), "left_outer")
+        val nextComm = comm.join(best, Seq("id"), "left_outer")
           .select(col("id"), coalesce(col("newComm"), col("community")).as("community"))
           .cutLineage()
+        Lineage.release(comm)
+        comm = nextComm
       }
       val q = modularity(ew, comm, m2)
       improved = q - lastQ > config.tolerance

@@ -35,7 +35,10 @@ object RandomWalk {
       orientation: Orientation = Orientation.Natural)
 
   /** @return (walkId, start, path: array<long>) */
-  def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+  def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
+    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+
+  private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val adj = graph.adjacency(config.orientation).cutLineage()
     val biased = config.returnParam != 1.0 || config.inOutParam != 1.0
 
@@ -98,10 +101,12 @@ object RandomWalk {
               .otherwise(concat(col("path"), array(chosen))).as("path"),
             col("stopped"))
 
-      walks = stepped
+      val next = stepped
         .select(col("walkId"), col("start"), col("path"),
           element_at(col("path"), -1).as("current"), col("stopped"))
         .cutLineage()
+      Lineage.release(walks)
+      walks = next
     }
     walks.select(col("walkId"), col("start"), col("path"))
   }

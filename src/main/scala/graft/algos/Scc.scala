@@ -32,7 +32,10 @@ object Scc {
   final case class Config(maxOuterIterations: Int = Int.MaxValue)
 
   /** @return (id, component) — component = max id in the SCC */
-  def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+  def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
+    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+
+  private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val fwd = graph.edges.select(col("src"), col("dst")).distinct()
       .cutLineage()
     val bwd = fwd.select(col("dst").as("src"), col("src").as("dst"))

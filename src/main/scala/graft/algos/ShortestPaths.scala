@@ -36,7 +36,7 @@ object ShortestPaths {
       source: Long,
       target: Option[Long] = None,
       heuristic: Option[DataFrame] = None,
-      maxIterations: Int = 100): DataFrame = {
+      maxIterations: Int = 100): DataFrame = Lineage.withFastIteration(edges.sparkSession) {
     val h = heuristic.map(_.select(col("id"), col("h").cast("double").as("h")))
     val base = nodes.select(
       col("id"),
@@ -65,7 +65,7 @@ object ShortestPaths {
         case None => Double.PositiveInfinity
       }
       val improved = col("m").isNotNull && col("m")("d") < col("dist")
-      state = state.join(msgs, Seq("id"), "left_outer")
+      val next = state.join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           when(improved, col("m")("d")).otherwise(col("dist")).as("dist"),
           when(improved, col("m")("p")).otherwise(col("pred")).as("pred"),
@@ -76,6 +76,8 @@ object ShortestPaths {
             .as("active"),
           col("h"))
         .cutLineage()
+      Lineage.release(state)
+      state = next
       active = state.where(col("active")).count()
       iter += 1
     }

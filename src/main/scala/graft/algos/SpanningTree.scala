@@ -29,7 +29,10 @@ object SpanningTree {
   /** @return tree edges (src, dst, weight) with src<dst — one minimum
    *  spanning tree per connected component (a forest on disconnected
    *  graphs, like running Prim from every component). */
-  def minimumSpanningForest(graph: PropertyGraph): DataFrame = {
+  def minimumSpanningForest(graph: PropertyGraph): DataFrame =
+    Lineage.withFastIteration(graph.spark) { forestImpl(graph) }
+
+  private def forestImpl(graph: PropertyGraph): DataFrame = {
     val canon = canonical(graph).cutLineage()
     var comp = graph.nodes.select(col("id"), col("id").as("comp")).cutLineage()
     var tree = canon.limit(0).cutLineage()

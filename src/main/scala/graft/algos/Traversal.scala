@@ -81,6 +81,137 @@ object Traversal {
     result.vertices.select(col("id"), col("dist").as("distance"))
   }
 
+  /**
+   * Delta-stepping SSSP — gds.alpha.shortestPath.deltaStepping
+   * (alpha/.../impl/ShortestPathDeltaStepping.java:53-272, after Meyer &
+   * Sanders): distances are settled bucket by bucket (bucket k = dists in
+   * [kΔ, (k+1)Δ)); inside a bucket only LIGHT edges (w ≤ Δ) relax, to a
+   * fixpoint; then one HEAVY-edge (w > Δ) relaxation seeds later buckets.
+   * Results are exact and identical to Dijkstra; the bucket discipline
+   * bounds how often a vertex re-relaxes compared to plain Bellman-Ford
+   * when weights vary widely.
+   * @return (id, distance) — unreached = Infinity
+   */
+  def deltaStepping(graph: PropertyGraph, source: Long, delta: Double,
+      orientation: Orientation = Orientation.Natural,
+      maxBuckets: Int = 1000): DataFrame = Lineage.withFastIteration(graph.spark) {
+    require(delta > 0.0, "delta must be positive")
+    val all = graph.aggregated(orientation, Aggregation.Min).cutLineage()
+    val light = all.where(col("weight") <= delta).cutLineage()
+    val heavy = all.where(col("weight") > delta).cutLineage()
+
+    def relax(state: DataFrame, frontier: DataFrame, edges: DataFrame): DataFrame = {
+      val msgs = edges
+        .join(frontier.select(col("id").as("src"), col("dist").as("sd")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("sd") + col("weight")).as("nd"))
+      state.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),
+          (coalesce(col("nd"), col("dist")) < col("dist")).as("updated"))
+        .cutLineage()
+    }
+
+    var state = graph.nodes.select(
+      col("id"),
+      when(col("id") === source, 0.0).otherwise(lit(Double.PositiveInfinity)).as("dist"),
+      (col("id") === source).as("updated"))
+      .cutLineage()
+
+    var k = 0
+    var more = true
+    while (more && k < maxBuckets) {
+      val inBucket = floor(col("dist") / delta) === k && !col("dist").isNaN
+      // light-edge fixpoint within bucket k: start from every bucket-k
+      // vertex, continue from vertices updated INTO bucket k.
+      var frontier = state.where(inBucket)
+      var frontierCount = frontier.count()
+      while (frontierCount > 0) {
+        state = relax(state, frontier, light)
+        frontier = state.where(col("updated") && inBucket)
+        frontierCount = frontier.count()
+      }
+      // one heavy relaxation from the settled bucket
+      val settled = state.where(inBucket)
+      if (settled.limit(1).count() > 0) state = relax(state, settled, heavy)
+      // next non-empty bucket (skip gaps in one action)
+      val nextRow = state
+        .where(col("dist") =!= Double.PositiveInfinity &&
+          floor(col("dist") / delta) > k)
+        .agg(min(floor(col("dist") / delta))).head()
+      if (nextRow.isNullAt(0)) more = false
+      else k = nextRow.getLong(0).toInt
+    }
+    state.select(col("id"), col("dist").as("distance"))
+  }
+
+  /**
+   * All-pairs shortest-path STREAM — gds.alpha.allShortestPaths
+   * (alpha/.../impl/msbfs/MSBFSAllShortestPaths.java unweighted,
+   * WeightedAllShortestPaths.java weighted): one row per reachable
+   * (source, target) pair. All sources advance through each superstep
+   * together — the frontier frame is keyed (s, v), so the job count is the
+   * graph diameter regardless of the source count (the Spark counterpart
+   * of the reference's 64-wide MS-BFS batching, without the 64 cap).
+   * `sources` bounds the quadratic output at scale.
+   * @return (source, target, distance)
+   */
+  def allShortestPaths(graph: PropertyGraph,
+      sources: Option[DataFrame] = None,
+      weighted: Boolean = false,
+      orientation: Orientation = Orientation.Natural,
+      maxIterations: Int = 50): DataFrame = Lineage.withFastIteration(graph.spark) {
+    val srcs = sources.getOrElse(graph.nodes.select(col("id")))
+    if (!weighted) {
+      val edges = graph.aggregated(orientation, Aggregation.Count)
+        .select(col("src"), col("dst")).cutLineage()
+      var reachedLevels = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var frontier = srcs.select(col("id").as("s"), col("id").as("v"), lit(0L).as("d"))
+        .cutLineage()
+      reachedLevels += frontier
+      var depth = 0
+      var n = frontier.count()
+      while (n > 0 && depth < maxIterations) {
+        val seen = reachedLevels.map(_.select(col("s"), col("v"))).reduce(_ unionByName _)
+        val next = edges
+          .join(frontier.select(col("v").as("src"), col("s")), Seq("src"))
+          .select(col("s"), col("dst").as("v")).distinct()
+          .join(seen, Seq("s", "v"), "left_anti")
+          .withColumn("d", lit(depth + 1L))
+          .cutLineage()
+        n = next.count()
+        if (n > 0) { reachedLevels += next; frontier = next; depth += 1 }
+      }
+      reachedLevels.reduce(_ unionByName _)
+        .select(col("s").as("source"), col("v").as("target"),
+          col("d").cast("double").as("distance"))
+    } else {
+      val edges = graph.aggregated(orientation, Aggregation.Min).cutLineage()
+      // batched Bellman-Ford on (s, v) pairs
+      var state = srcs.select(col("id").as("s"), col("id").as("v"), lit(0.0).as("d"))
+        .withColumn("updated", lit(true)).cutLineage()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIterations) {
+        val msgs = edges
+          .join(state.where(col("updated"))
+            .select(col("v").as("src"), col("s"), col("d").as("sd")), Seq("src"))
+          .groupBy(col("s"), col("dst").as("v"))
+          .agg(min(col("sd") + col("weight")).as("nd"))
+        state = state.join(msgs, Seq("s", "v"), "full_outer")
+          .select(col("s"), col("v"),
+            least(coalesce(col("d"), lit(Double.PositiveInfinity)),
+              coalesce(col("nd"), lit(Double.PositiveInfinity))).as("d"),
+            (coalesce(col("nd"), lit(Double.PositiveInfinity)) <
+              coalesce(col("d"), lit(Double.PositiveInfinity))).as("updated"))
+          .cutLineage()
+        changed = state.where(col("updated")).count()
+        iter += 1
+      }
+      state.select(col("s").as("source"), col("v").as("target"),
+        col("d").as("distance"))
+    }
+  }
+
   /** Exit-predicate outcomes — reference Traverse.ExitPredicate.Result. */
   sealed trait Exit
   object Exit {

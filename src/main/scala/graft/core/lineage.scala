@@ -13,4 +13,26 @@ import org.apache.spark.sql.{DataFrame, GraftShims}
  */
 object Lineage {
   def cut(df: DataFrame): DataFrame = GraftShims.cutLineage(df)
+
+  /** Release the checkpoint blocks behind a cut frame (safe no-op when the
+   *  frame was never checkpointed). Call on SUPERSEDED superstep states —
+   *  never on a frame still handed to the caller. */
+  def release(df: DataFrame): Unit =
+    GraftShims.persistedHandle(df).foreach(_.unpersist(blocking = false))
+
+  /**
+   * Run an iterative loop with AQE disabled. AQE re-plans every shuffle
+   * stage of every superstep's micro-query; measured on the 11.6 M-edge
+   * scaling graph this costs ~3 s of fixed latency PER SUPERSTEP at
+   * local[8] (5.0 s → 2.0 s without AQE) while buying nothing — superstep
+   * frames are tiny, pre-partitioned, and skew-free by construction. AQE
+   * stays on for one-shot heavy queries (triangle count, dedup joins),
+   * where its skew/coalesce handling is worth the re-planning latency.
+   */
+  def withFastIteration[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
 }

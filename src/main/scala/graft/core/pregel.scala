@@ -118,6 +118,7 @@ object Pregel {
 
     val spark = initial.sparkSession
     val ckpt = config.checkpointDir.map(new CheckpointManager(_))
+    Lineage.withFastIteration(spark) { // AQE off for the superstep micro-queries
 
     var superstep = ckpt.flatMap(_.latestSuperstep).getOrElse(0)
     var state =
@@ -153,22 +154,32 @@ object Pregel {
       // gather/apply: old state LEFT JOIN messages → new state. The eager
       // localCheckpoint is both the superstep barrier and the lineage cut
       // (iterative plans would otherwise snowball — SURVEY.md §7.4).
+      // Convergence stats ride the SAME materializing action via observe()
+      // (CollectMetrics accumulators) — a superstep is ONE Spark action,
+      // not a checkpoint action plus a stats aggregate; the removed
+      // per-superstep scheduling round was a measured term of the scaling
+      // floor (VERDICT r1 per-superstep overhead note).
       val joined = state.join(msgs, Seq("id"), "left_outer")
+      val obs = org.apache.spark.sql.Observation()
       val newState = joined.select(col("id") +: updateExprs: _*)
+        .observe(obs,
+          sum(col(CHANGED).cast("long")).as("changed"),
+          sum(col(ACTIVE).cast("long")).as("active"),
+          coalesce(max(abs(col(DELTA))), lit(0.0)).as("deltaNorm"))
         .cutLineage()
 
-      // barrier 2 + metrics in a single action over the new state.
-      val statsRow = newState.agg(
-        sum(col(CHANGED).cast("long")).as("changed"),
-        sum(col(ACTIVE).cast("long")).as("active"),
-        coalesce(max(abs(col(DELTA))), lit(0.0)).as("deltaNorm")).head()
-      val changed = Option(statsRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-      val activeCount = Option(statsRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
-      val deltaNorm = statsRow.getDouble(2)
+      val statsMap = obs.get
+      val changed = Option(statsMap("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val activeCount = Option(statsMap("active")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val deltaNorm = statsMap("deltaNorm").asInstanceOf[Double]
 
       val skew = if (track) skewRatio(msgs) else 1.0
       if (track) msgs.unpersist()
-      state.unpersist()
+      // release the superseded superstep's checkpoint blocks NOW — waiting
+      // for GC-driven ContextCleaner cleanup lets blocks pile up one set
+      // per superstep (observed: heap thrash + executor heartbeat loss on
+      // a 46 M-edge run).
+      Lineage.release(state)
       state = newState
       superstep += 1
 
@@ -182,7 +193,7 @@ object Pregel {
           // durable checkpoint: parquet round-trip cuts lineage AND is the
           // exact state a resumed run would start from.
           val reread = c.save(state, superstep, m)
-          state.unpersist()
+          Lineage.release(state)
           state = reread.persist(StorageLevel.MEMORY_AND_DISK)
         }
       }
@@ -191,7 +202,9 @@ object Pregel {
       }
     }
 
+    Lineage.release(edgesPart)
     PregelResult(state, superstep, converged, history.toSeq)
+    } // withFastIteration
   }
 
   /** max/mean rows per partition of the combined-message frame — the skew

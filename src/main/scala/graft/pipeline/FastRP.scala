@@ -36,7 +36,10 @@ object FastRP {
       orientation: Orientation = Orientation.Undirected)
 
   /** @return (id, embedding: array<double>) */
-  def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
+  def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
+    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+
+  private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val spark = graph.spark
     val dim = config.embeddingSize
     val edges = graph.aggregated(config.orientation, Aggregation.Sum).cutLineage()

@@ -240,6 +240,22 @@ object GraphQueries {
       .select(col("src_repo"), col("dst_repo"), col("weight"))
   }
 
+  /** All-pairs shortest-path stream (unweighted MS-BFS form) on the
+   *  induced ≤ r000500 subgraph — the output is |pairs| rows, so the
+   *  subgraph bound is the scale lever (sources option at full scale). */
+  def allShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val sub = verts.where(col("repo") <= "r000500").select(col("id"))
+    val subEdges = g.edges
+      .join(sub.withColumnRenamed("id", "src"), Seq("src"))
+      .join(sub.withColumnRenamed("id", "dst"), Seq("dst"))
+    val r = Traversal.allShortestPaths(PropertyGraph(sub, subEdges),
+      orientation = Orientation.Undirected, maxIterations = 10)
+    r.join(verts.select(col("id").as("source"), col("repo").as("source_repo")), Seq("source"))
+      .join(verts.select(col("id").as("target"), col("repo").as("target_repo")), Seq("target"))
+      .select(col("source_repo"), col("target_repo"), col("distance"))
+  }
+
   /** BFS levels from the lexicographically-first repo (dense id 0). */
   def bfs(spark: SparkSession, dir: String): DataFrame = {
     val (g, verts) = simpleGraph(spark, dir)

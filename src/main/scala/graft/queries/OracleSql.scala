@@ -413,6 +413,18 @@ SELECT id AS repo, round(d, 6) AS distance FROM d$iters"""
 
   val sssp: String = graphCte + ssspUnrolled(10)
 
+  /** Unweighted all-pairs distances on the induced ≤ r000500 subgraph —
+   *  the same recursive reach as `closeness`, streamed as pairs. */
+  val allShortestPaths: String = graphCte + """,
+subn AS (SELECT id FROM nodes WHERE id <= 'r000500'),
+sube AS (SELECT src, dst FROM eu WHERE src <= 'r000500' AND dst <= 'r000500'),
+reach AS (SELECT id, id AS s, 0 AS lvl FROM subn
+          UNION
+          SELECT e.dst AS id, r.s, r.lvl + 1 AS lvl FROM reach r
+          JOIN sube e ON e.src = r.id WHERE r.lvl < 10)
+SELECT s AS source_repo, id AS target_repo, CAST(min(lvl) AS DOUBLE) AS distance
+FROM reach GROUP BY s, id"""
+
   val nodeSimilarityWeighted: String = graphCte + """,
 interw AS (SELECT l.src AS a, r.src AS b, sum(least(l.w, r.w)) AS smin
            FROM ew l JOIN ew r ON l.dst = r.dst AND l.src <> r.src
@@ -430,6 +442,7 @@ FROM rankedw WHERE rank <= 5"""
     "betweenness" -> betweenness,
     "sssp" -> sssp,
     "node_similarity_weighted" -> nodeSimilarityWeighted,
+    "all_shortest_paths" -> allShortestPaths,
     "article_rank" -> articleRank,
     "eigenvector" -> eigenvector,
     "link_prediction" -> linkPrediction,

@@ -29,4 +29,21 @@ object GraftShims {
     val c = df.localCheckpoint(true).asInstanceOf[CDataFrame]
     internalCreateDataFrame(df.sparkSession, c.queryExecution.toRdd, df.schema)
   }
+
+  /** The persisted RDD actually holding a cut frame's checkpoint blocks —
+   *  walk the (linear, for a LogicalRDD scan) dependency chain to the first
+   *  ancestor with a storage level. Unpersisting it releases the blocks;
+   *  without this, a long superstep loop accumulates one block set per
+   *  iteration until the ContextCleaner's GC-driven cleanup catches up —
+   *  observed as heap thrash + heartbeat loss on a 46 M-edge run. */
+  def persistedHandle(df: DataFrame): Option[RDD[_]] = {
+    @annotation.tailrec
+    def walk(r: RDD[_], depth: Int): Option[RDD[_]] =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Some(r)
+      else r.dependencies.headOption.map(_.rdd) match {
+        case Some(p) if depth < 8 => walk(p, depth + 1)
+        case _ => None
+      }
+    walk(df.asInstanceOf[CDataFrame].queryExecution.toRdd, 0)
+  }
 }
