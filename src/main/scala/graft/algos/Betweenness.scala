@@ -42,7 +42,7 @@ object Betweenness {
 
   /** @return (id, score) for every node (0.0 where no dependency). */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
-    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+    runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val divisor = if (config.orientation == Orientation.Undirected) 2.0 else 1.0

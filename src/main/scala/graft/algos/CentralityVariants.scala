@@ -73,7 +73,7 @@ object Eigenvector {
 
   /** @return (id, score) */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
-    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+    runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val edges = graph.aggregated(config.orientation, Aggregation.Sum)

@@ -34,7 +34,7 @@ object Closeness {
 
   /** @return (id, closeness, harmonic) */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
-    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+    runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val spark = graph.nodes.sparkSession

@@ -23,7 +23,7 @@ object K1Coloring {
 
   /** @return (id, color) proper coloring of the undirected simple graph */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
-    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+    runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     // undirected distinct neighbor relation

@@ -51,7 +51,7 @@ object LabelPropagation {
 
   /** @return (id, label) */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
-    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+    runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     // partition once by the join key (dst — labels are pulled from the
@@ -62,6 +62,8 @@ object LabelPropagation {
       .select(col("src"), col("dst"), col("weight"))
       .repartition(col("dst"))
       .localCheckpoint(true)
+    val bigWork = edges.count() >= Lineage.aqeOffMinEdges(graph.spark)
+    Lineage.withFastIteration(graph.spark, bigWork) {
 
     val initLabel = config.seedProperty match {
       case Some(p) => col(p).cast("long")
@@ -101,5 +103,6 @@ object LabelPropagation {
       iter += 1
     }
     labels.select(col("id"), col("label"))
+    } // withFastIteration
   }
 }

@@ -49,7 +49,7 @@ object ModularityOptimization {
     graph.aggregated(Orientation.Undirected, Aggregation.Sum)
 
   def run(graph: PropertyGraph, config: Config = Config()): Result =
-    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+    runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): Result = {
     val ew = symEdges(graph).cutLineage()

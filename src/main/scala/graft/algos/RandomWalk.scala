@@ -36,7 +36,7 @@ object RandomWalk {
 
   /** @return (walkId, start, path: array<long>) */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
-    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+    runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val adj = graph.adjacency(config.orientation).cutLineage()

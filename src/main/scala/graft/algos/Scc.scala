@@ -33,7 +33,7 @@ object Scc {
 
   /** @return (id, component) — component = max id in the SCC */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
-    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+    runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val fwd = graph.edges.select(col("src"), col("dst")).distinct()

@@ -36,7 +36,7 @@ object ShortestPaths {
       source: Long,
       target: Option[Long] = None,
       heuristic: Option[DataFrame] = None,
-      maxIterations: Int = 100): DataFrame = Lineage.withFastIteration(edges.sparkSession) {
+      maxIterations: Int = 100): DataFrame = {
     val h = heuristic.map(_.select(col("id"), col("h").cast("double").as("h")))
     val base = nodes.select(
       col("id"),

@@ -30,7 +30,7 @@ object SpanningTree {
    *  spanning tree per connected component (a forest on disconnected
    *  graphs, like running Prim from every component). */
   def minimumSpanningForest(graph: PropertyGraph): DataFrame =
-    Lineage.withFastIteration(graph.spark) { forestImpl(graph) }
+    forestImpl(graph)
 
   private def forestImpl(graph: PropertyGraph): DataFrame = {
     val canon = canonical(graph).cutLineage()

@@ -94,7 +94,7 @@ object Traversal {
    */
   def deltaStepping(graph: PropertyGraph, source: Long, delta: Double,
       orientation: Orientation = Orientation.Natural,
-      maxBuckets: Int = 1000): DataFrame = Lineage.withFastIteration(graph.spark) {
+      maxBuckets: Int = 1000): DataFrame = {
     require(delta > 0.0, "delta must be positive")
     val all = graph.aggregated(orientation, Aggregation.Min).cutLineage()
     val light = all.where(col("weight") <= delta).cutLineage()
@@ -159,7 +159,7 @@ object Traversal {
       sources: Option[DataFrame] = None,
       weighted: Boolean = false,
       orientation: Orientation = Orientation.Natural,
-      maxIterations: Int = 50): DataFrame = Lineage.withFastIteration(graph.spark) {
+      maxIterations: Int = 50): DataFrame = {
     val srcs = sources.getOrElse(graph.nodes.select(col("id")))
     if (!weighted) {
       val edges = graph.aggregated(orientation, Aggregation.Count)

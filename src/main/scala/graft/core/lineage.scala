@@ -29,10 +29,28 @@ object Lineage {
    * stays on for one-shot heavy queries (triangle count, dedup joins),
    * where its skew/coalesce handling is worth the re-planning latency.
    */
-  def withFastIteration[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prev)
+  def withFastIteration[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A =
+    withFastIteration(spark, enabled = true)(body)
+
+  /** `enabled = false` is a no-op passthrough: loops over SMALL frames keep
+   *  AQE — its runtime broadcast conversion and partition coalescing are a
+   *  measured 2-3× win there (bench r2: louvain 17→58 s, scc 12→32 s when
+   *  AQE was blanket-disabled), while big superstep frames measure the
+   *  opposite (re-planning latency, nothing to broadcast). Callers gate on
+   *  the edge-frame row count (see Pregel.run). */
+  def withFastIteration[A](spark: org.apache.spark.sql.SparkSession,
+      enabled: Boolean)(body: => A): A = {
+    if (!enabled) body
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
   }
+
+  /** Edge-count threshold above which an iterative loop turns AQE off
+   *  (override with spark conf `graft.aqeOff.minEdges`). */
+  def aqeOffMinEdges(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.aqeOff.minEdges").map(_.toLong).getOrElse(16000000L)
 }

@@ -118,12 +118,6 @@ object Pregel {
 
     val spark = initial.sparkSession
     val ckpt = config.checkpointDir.map(new CheckpointManager(_))
-    Lineage.withFastIteration(spark) { // AQE off for the superstep micro-queries
-
-    var superstep = ckpt.flatMap(_.latestSuperstep).getOrElse(0)
-    var state =
-      if (superstep > 0) ckpt.get.load(spark, superstep) // resume path
-      else initial.cutLineage() // cut the ingest lineage once
 
     // Hash-partition the (large, static) edge relation by the join key
     // ONCE; localCheckpoint (NOT cutLineage — it must keep its hash
@@ -132,6 +126,17 @@ object Pregel {
     // (small) vertex side shuffles. This is the per-superstep
     // shuffle-minimization the north rule calls out.
     val edgesPart = edges.repartition(col("src")).localCheckpoint(true)
+    // AQE off only when the superstep frame is big enough that broadcast
+    // conversion can't apply and re-planning latency dominates (measured
+    // both ways — see Lineage.withFastIteration scaladoc). The count scans
+    // the just-checkpointed blocks, not the source.
+    val bigWork = edgesPart.count() >= Lineage.aqeOffMinEdges(spark)
+    Lineage.withFastIteration(spark, bigWork) {
+
+    var superstep = ckpt.flatMap(_.latestSuperstep).getOrElse(0)
+    var state =
+      if (superstep > 0) ckpt.get.load(spark, superstep) // resume path
+      else initial.cutLineage() // cut the ingest lineage once
 
     var converged = false
     val history = scala.collection.mutable.ArrayBuffer[SuperstepMetrics]()

@@ -37,7 +37,7 @@ object FastRP {
 
   /** @return (id, embedding: array<double>) */
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame =
-    Lineage.withFastIteration(graph.spark) { runImpl(graph, config) }
+    runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val spark = graph.spark
