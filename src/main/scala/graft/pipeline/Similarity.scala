@@ -72,11 +72,18 @@ object Similarity {
    */
   def bruteForceTopK(vectors: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms precomputed per VECTOR, not per pair: higher-order aggregate
+    // expressions evaluate interpreted per element, so folding norm() into
+    // the pair expression costs 3 array passes per pair; with norms as
+    // columns the pair does ONE dot pass and the arithmetic —
+    // dot/(na·nb) — is bit-identical to dot/(norm·norm).
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val l = v.select(col("id").as("a"), col("v").as("va"))
-    val r = v.select(col("id").as("b"), col("v").as("vb"))
+      .withColumn("n", norm(col("v")))
+    val l = v.select(col("id").as("a"), col("v").as("va"), col("n").as("na"))
+    val r = v.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb"))
     val pairs = l.crossJoin(r).where(col("a") =!= col("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
+      .select(col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
     pairs.withColumn("rank",
         row_number().over(Window.partitionBy("a")
           .orderBy(col("cosine").desc, col("b").asc)))
@@ -135,10 +142,12 @@ object Similarity {
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
     cand
-      .join(v.select(col("id").as("a"), col("v").as("va")), Seq("a"))
-      .join(v.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
+      .join(v.select(col("id").as("a"), col("v").as("va"), col("n").as("na")), Seq("a"))
+      .join(v.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .withColumn("rank",
         row_number().over(Window.partitionBy("a")
           .orderBy(col("cosine").desc, col("b").asc)))
