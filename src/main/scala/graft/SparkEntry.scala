@@ -25,6 +25,7 @@ object SparkEntry {
     "degree_centrality" -> (G.degreeCentralityWeighted _),
     "pagerank" -> (G.pagerank _),
     "pagerank_weighted" -> (G.pagerankWeighted _),
+    "pagerank_personalized" -> (G.pagerankPersonalized _),
     "wcc" -> (G.wcc _),
     "wcc_consecutive" -> (G.wccConsecutive _),
     "lpa" -> (G.lpa _),

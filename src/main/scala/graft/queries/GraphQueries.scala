@@ -138,6 +138,17 @@ object GraphQueries {
     toRepo(pr.select(col("id"), round(col("score"), 6).as("score")), verts, "score")
   }
 
+  /** Personalized PageRank: teleport mass only on repos ≤ r000050, 5 fixed
+   *  iterations, undirected simple graph. */
+  def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val sources = verts.where(col("repo") <= "r000050")
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val pr = PageRank.run(g, PageRank.Config(maxIterations = 5, tolerance = 0.0,
+      sourceNodes = sources, orientation = Orientation.Undirected))
+    toRepo(pr.select(col("id"), round(col("score"), 6).as("score")), verts, "score")
+  }
+
   /** WCC: component representative mapped back to its repo key. */
   def wcc(spark: SparkSession, dir: String): DataFrame = {
     val (g, verts) = simpleGraph(spark, dir)

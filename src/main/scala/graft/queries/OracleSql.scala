@@ -95,6 +95,28 @@ SELECT id AS repo, round(rank, 6) AS score FROM r$iters"""
   val pagerank: String = graphCte + prUnrolled(5, weighted = false)
   val pagerankWeighted: String = graphCte + prUnrolled(5, weighted = true)
 
+  /** Personalized variant: teleport vector 0.15·1_S (S = repos ≤ r000050),
+   *  re-injected every classic-form step — provably identical to the
+   *  engine's one-shot-init delta form (r_T = Σ_t d^t A^t b both ways). */
+  private def pprUnrolled(iters: Int): String = {
+    val base = "CASE WHEN n.id <= 'r000050' THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    val steps = (1 to iters).map { t =>
+      val prev = s"p${t - 1}"
+      s"""p$t AS (SELECT n.id, ($base) + 0.85 * coalesce(s.m, 0.0) AS rank
+         FROM p0_base n LEFT JOIN (
+           SELECT e.dst AS id, sum(r.rank / dd.d) AS m
+           FROM eu e JOIN $prev r ON r.id = e.src JOIN du dd ON dd.id = e.src
+           GROUP BY e.dst) s ON s.id = n.id)"""
+    }.mkString(",\n")
+    s""",
+p0_base AS (SELECT id FROM nodes),
+p0 AS (SELECT n.id, $base AS rank FROM nodes n),
+$steps
+SELECT id AS repo, round(rank, 6) AS score FROM p$iters"""
+  }
+
+  val pagerankPersonalized: String = graphCte + pprUnrolled(5)
+
   val wcc: String = graphCte + """,
 reach AS (SELECT id, id AS comp FROM nodes
           UNION
@@ -454,6 +476,7 @@ FROM rankedw WHERE rank <= 5"""
     "degree_centrality" -> degreeCentralityWeighted,
     "pagerank" -> pagerank,
     "pagerank_weighted" -> pagerankWeighted,
+    "pagerank_personalized" -> pagerankPersonalized,
     "wcc" -> wcc,
     "wcc_consecutive" -> wccConsecutive,
     "lpa" -> lpa,
