@@ -271,6 +271,39 @@ mh AS (SELECT doc_id,
        FROM sh GROUP BY doc_id)
 SELECT doc_id, h0, h1, h2, h3 FROM mh"""
 
+  /** MinHash-LSH near-dup pairs — the full pipeline is engine-portable
+   *  (sha256 string-min lanes, 4×2 banding, bucket cap 50, exact shingle
+   *  Jaccard ≥ 0.3 verification), mirroring Dedup.minhashLsh(k=3, bands=4,
+   *  rowsPerBand=2). */
+  val dedupLshPairs: String = """
+WITH toks AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+  FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) gs),
+shl AS (SELECT doc_id, list(g) AS sg FROM sh GROUP BY doc_id),
+mh AS (SELECT doc_id,
+         min(sha256('0:' || g)) AS h0, min(sha256('1:' || g)) AS h1,
+         min(sha256('2:' || g)) AS h2, min(sha256('3:' || g)) AS h3,
+         min(sha256('4:' || g)) AS h4, min(sha256('5:' || g)) AS h5,
+         min(sha256('6:' || g)) AS h6, min(sha256('7:' || g)) AS h7
+       FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, '0_' || sha256(h0 || '|' || h1) AS bucket FROM mh
+  UNION ALL SELECT doc_id, '1_' || sha256(h2 || '|' || h3) FROM mh
+  UNION ALL SELECT doc_id, '2_' || sha256(h4 || '|' || h5) FROM mh
+  UNION ALL SELECT doc_id, '3_' || sha256(h6 || '|' || h7) FROM mh),
+bsz AS (SELECT bucket, count(*) AS bs FROM banded GROUP BY bucket),
+bounded AS (SELECT b.doc_id, b.bucket FROM banded b JOIN bsz ON bsz.bucket = b.bucket
+            WHERE bsz.bs <= 50),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bounded l JOIN bounded r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+jac AS (SELECT c.a, c.b,
+          CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) /
+            len(list_distinct(list_concat(sa.sg, sb.sg))) AS jaccard
+        FROM cand c JOIN shl sa ON sa.doc_id = c.a JOIN shl sb ON sb.doc_id = c.b)
+SELECT a, b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.3"""
+
   /** ArticleRank unrolled: denominator deg+avgDeg (constant scalar). */
   private def arUnrolled(iters: Int): String = {
     val steps = (1 to iters).map { t =>
@@ -489,5 +522,6 @@ FROM rankedw WHERE rank <= 5"""
     "text_quality" -> textQuality,
     "lang_id" -> langId,
     "ann_cosine" -> annCosine,
-    "dedup_minhash" -> minhash)
+    "dedup_minhash" -> minhash,
+    "dedup_lsh_pairs" -> dedupLshPairs)
 }

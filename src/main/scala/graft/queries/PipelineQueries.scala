@@ -61,6 +61,7 @@ object PipelineQueries {
   def dedupLshPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(spark, dir), k = 3, bands = 4, rowsPerBand = 2,
       threshold = 0.3)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
 
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(embs(spark, dir), k = 5, bands = 8, bitsPerBand = 6)
