@@ -31,5 +31,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: the machine has 128 GiB and local[32] at sf0.1 GC-thrashes
+  // in 8g (BENCH_r02's louvain ran 4× slower than the same build at 48g —
+  // the driver's bench env does not set SPARK_DRIVER_MEM).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

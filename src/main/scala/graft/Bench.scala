@@ -10,26 +10,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Environment provenance: the r2 driver bench diverged 4× from the
+    // committed clean run on louvain because the forked JVM ran with the
+    // old 8g default heap — log what this run actually has so bench
+    // artifacts are self-explaining.
+    System.err.println(s"[bench] maxHeap=${Runtime.getRuntime.maxMemory() >> 20}MiB " +
+      s"cpus=$cpus aqe=${spark.conf.get("spark.sql.adaptive.enabled", "?")} sf=$sfDir")
     // Warm the shared ingest caches (edge derivation + simple-graph
     // distinct) so per-query timings measure the operator, not whichever
-    // query happens to run first in map order.
+    // query happens to run first.
     val w0 = System.nanoTime()
     val warmupSec = try {
       graft.queries.GraphQueries.simpleGraph(spark, sfDir)
       (System.nanoTime() - w0) / 1e9
     } catch { case _: Throwable => -1.0 }
     System.err.println(f"[bench] warmup (ingest+caches): $warmupSec%.1fs")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val ordered = SparkEntry.orderedQueryNames
+      .flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => SparkEntry.orderedQueryNames.contains(n) }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: $sec%.1fs ($n rows)")
+      // per-query AQE assertion: iterative algorithms toggle it scoped to
+      // their loop; it must ALWAYS read back as the session default here.
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled", "?")
+      System.err.println(f"[bench] $name: $sec%.1fs ($n rows, aqe=$aqe)")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmupSec":$warmupSec,"sf":"$sfDir"}"""
     // stdout (unprefixed: build.sbt sets run/outputStrategy := StdoutOutput so
     // sbt does not wrap forked output in "[info] ") + a known file path, so

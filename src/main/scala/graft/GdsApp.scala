@@ -102,12 +102,15 @@ object GdsApp {
 
   /** Scan for `--key value` pairs anywhere in the arg list (positional
    *  operands like the `run` subcommand's algorithm name don't shift the
-   *  window — fixed sliding(2,2) parsing misaligned and silently dropped
-   *  every option after a positional). */
+   *  window). A `--key` followed by another `--option` (or by nothing) is
+   *  a valueless BOOLEAN flag → "true", so `--stats --graph g` yields
+   *  stats=true, graph=g instead of stats="--graph" swallowing the option
+   *  (ADVICE r2). */
   private def parseOpts(args: Array[String]): Map[String, String] =
     args.zipWithIndex.collect {
-      case (k, i) if k.startsWith("--") && i + 1 < args.length =>
-        k.stripPrefix("--") -> args(i + 1)
+      case (k, i) if k.startsWith("--") =>
+        val v = args.lift(i + 1).filterNot(_.startsWith("--")).getOrElse("true")
+        k.stripPrefix("--") -> v
     }.toMap
 
   private def required(opts: Map[String, String], key: String): String =

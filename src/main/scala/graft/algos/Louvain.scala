@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
  * Spark superstep has no races to avoid, and sequencing one Spark job
  * chain per color is a driver-side scale-killer (O(colors·iterations)
  * jobs — colors ≈ max degree on a link graph). Instead every iteration
- * runs TWO all-node gain supersteps gated by vertex-id parity: even ids
- * may move in the first sub-sweep, odd ids in the second. The parity gate
- * is the deterministic oscillation guard (the classic 2-node A↔B swap
- * cycle needs both endpoints moving on the same stale view; splitting
- * movers by parity breaks the symmetry), and moves happen only on
+ * runs TWO all-node gain supersteps, the mover set gated by the parity of
+ * xxhash64(id, iteration): a pseudo-random HALF of the nodes may move in
+ * the first sub-sweep, the other half in the second. The gate is the
+ * deterministic oscillation guard for the classic A↔B swap cycle (both
+ * endpoints moving toward each other on the same stale view): because the
+ * hash is salted with the iteration number, any adjacent pair lands in
+ * the same sub-sweep only ~half the iterations, so no pair can oscillate
+ * indefinitely — a static id-parity gate left same-parity pairs (e.g.
+ * ids 2 and 4) permanently co-scheduled (ADVICE r2). Moves happen only on
  * strictly positive gain, so modularity is non-decreasing in expectation
  * and the tolerance test terminates the loop.
  *
@@ -82,7 +86,9 @@ object ModularityOptimization {
       for (parity <- 0 to 1) {
         val ctot = comm.join(nodes, Seq("id"))
           .groupBy("community").agg(sum("k").as("tot"))
-        val active = nodes.where(pmod(col("id"), lit(2)) === parity).select(col("id"))
+        val active = nodes
+          .where(pmod(xxhash64(col("id"), lit(iter)), lit(2)) === parity)
+          .select(col("id"))
 
         // k_{i,c}: weight from each active node into each neighbor community
         val kic = ewNoSelf

@@ -180,4 +180,78 @@ object MemoryEstimation {
       "adjacency (src,dst,w)" -> r * 24,
       "candidate pairs upper bound (Σ deg²)" -> candUpper * 32))
   }
+
+  /** Label Propagation: vertex labels + per-edge votes (map-side combined
+   *  to one row per (dst, label) ≤ one per edge). */
+  def labelPropagation(graph: PropertyGraph): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    build("labelPropagation", n, r, Seq(
+      "vertex state (id,label,flags)" -> n * (8 * 2 + 2),
+      "vote frame ≤ (dst,label,weight)/edge (undirected ×2)" -> r * 2 * 24,
+      "edge partition (undirected ×2)" -> r * 48))
+  }
+
+  /** Triangle count: canonical adjacency + wedge join bounded by Σ deg²
+   *  (degree-ordered orientation halves the real wedge count). */
+  def triangleCount(graph: PropertyGraph): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    val wedgeUpper = graph.degrees(Orientation.Natural)
+      .agg(sum(col("degree") * col("degree"))).head().getLong(0)
+    build("triangleCount", n, r, Seq(
+      "canonical adjacency (src<dst)" -> r * 16,
+      "wedge frame upper bound (Σ deg²)/2" -> wedgeUpper * 24 / 2,
+      "per-node counts" -> n * 16))
+  }
+
+  /** Louvain: per level — symmetric weighted edges, node (id,k,community),
+   *  k_{i,c} candidate frame ≤ one row per directed edge, community
+   *  totals. Levels beyond the first run on CONTRACTED graphs (≤ level-1
+   *  size), so min = one level, max = maxLevels × level-1 frames. */
+  def louvain(graph: PropertyGraph, maxLevels: Int = 10): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    val perLevel = Seq(
+      "symmetric weighted edges (×2)" -> r * 2 * 24,
+      "node state (id,k,community)" -> n * 24,
+      "k_ic candidates ≤ 1/directed edge" -> r * 2 * 24,
+      "community totals" -> n * 16)
+    val e = build("louvain", n, r, perLevel)
+    e.copy(bytesMax = e.bytesMin * maxLevels,
+      tree = e.tree + s"\n  |-- (max: × $maxLevels levels on contracted graphs)")
+  }
+
+  /** Betweenness (Brandes): the (source, vertex)-keyed σ/δ state is the
+   *  dominant term — sources × n rows; exact all-sources ⇒ sources = n
+   *  (the quadratic the sampled mode exists to avoid). */
+  def betweenness(graph: PropertyGraph, sources: Option[Long] = None): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    val s = sources.getOrElse(n)
+    build(s"betweenness (sources=$s)", n, r, Seq(
+      "(s,v) sigma/dist/delta state" -> s * n * 32,
+      "frontier messages ≤ (s,edge)" -> s * r * 24 / math.max(n, 1),
+      "edge partition" -> r * 16))
+  }
+
+  /** Closeness/harmonic via MS-BFS: (source, vertex) distance pairs —
+   *  sources × n reachable rows; 64-wide batching bounds the LIVE frame
+   *  to batch × n while totals stay quadratic in streamed form. */
+  def closeness(graph: PropertyGraph, sources: Option[Long] = None): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    val s = sources.getOrElse(n)
+    build(s"closeness (sources=$s)", n, r, Seq(
+      "(s,v) distance state" -> s * n * 24,
+      "live MS-BFS batch (64 sources)" -> 64L * n * 24,
+      "edge partition (undirected ×2)" -> r * 32))
+  }
+
+  /** FastRP: exploded sparse (id, pos, value) embedding — n × dim rows per
+   *  iteration frame + one edge copy per aggregation pass. */
+  def fastRP(graph: PropertyGraph, embeddingSize: Int = 128,
+      iterations: Int = 3): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    val e = build(s"fastRP (dim=$embeddingSize)", n, r, Seq(
+      "exploded embedding (id,pos,val)" -> n * embeddingSize.toLong * 24,
+      "message frame per iteration" -> r * embeddingSize.toLong * 24 / math.max(n, 1),
+      "edge partition" -> r * 24))
+    e.copy(tree = e.tree + s"\n  |-- ($iterations iterations, peak = 2 frames live)")
+  }
 }

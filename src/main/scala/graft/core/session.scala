@@ -159,6 +159,18 @@ final case class GraphOps(name: String, g: PropertyGraph) {
   def wccEstimate(): MemoryEstimation.Estimate = MemoryEstimation.wcc(g)
   def nodeSimilarityEstimate(): MemoryEstimation.Estimate =
     MemoryEstimation.nodeSimilarity(g)
+  def labelPropagationEstimate(): MemoryEstimation.Estimate =
+    MemoryEstimation.labelPropagation(g)
+  def triangleCountEstimate(): MemoryEstimation.Estimate =
+    MemoryEstimation.triangleCount(g)
+  def louvainEstimate(maxLevels: Int = 10): MemoryEstimation.Estimate =
+    MemoryEstimation.louvain(g, maxLevels)
+  def betweennessEstimate(sources: Option[Long] = None): MemoryEstimation.Estimate =
+    MemoryEstimation.betweenness(g, sources)
+  def closenessEstimate(sources: Option[Long] = None): MemoryEstimation.Estimate =
+    MemoryEstimation.closeness(g, sources)
+  def fastRPEstimate(embeddingSize: Int = 128): MemoryEstimation.Estimate =
+    MemoryEstimation.fastRP(g, embeddingSize)
 
   // stats mode
   def wccStats(): StatsResult = {

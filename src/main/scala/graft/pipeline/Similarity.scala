@@ -155,6 +155,60 @@ object Similarity {
   }
 
   /**
+   * Configured similarity proc — the reference's `gds.alpha.similarity.*`
+   * input surface (alpha/.../impl/similarity/SimilarityAlgorithm.java:33,
+   * SimilarityStreamGenerator.java): user-supplied `(item, weights[])`
+   * rows with `sourceIds` / `targetIds` restrictions, a `similarityCutoff`
+   * applied BEFORE the per-source `topK`, and a pluggable metric
+   * (cosine | euclidean | pearson | overlap). All-pairs between the
+   * configured source and target sets is the reference's semantics too —
+   * the id restrictions ARE its scale lever; unrestricted callers should
+   * use `lshTopK`/`ivfTopK` instead.
+   */
+  final case class ProcConfig(
+      topK: Int = 0,                       // 0 = unbounded (stream all)
+      similarityCutoff: Double = Double.NegativeInfinity,
+      sourceIds: Option[DataFrame] = None, // (id)
+      targetIds: Option[DataFrame] = None, // (id)
+      metric: String = "cosine")
+
+  /** @return (item1, item2, similarity, rank) — rank 1..K per item1 */
+  def proc(items: DataFrame, config: ProcConfig = ProcConfig(),
+      idCol: String = "item", weightsCol: String = "weights"): DataFrame = {
+    require(Set("cosine", "euclidean", "pearson", "overlap")(config.metric),
+      s"unknown metric: ${config.metric}")
+    // cosine precomputes per-vector norms (one array pass per VECTOR, not
+    // three per PAIR — the same optimization as bruteForceTopK, r2).
+    val v0 = items.select(col(idCol).as("id"),
+      (if (config.metric == "overlap") col(weightsCol) else asDouble(col(weightsCol)))
+        .as("v"))
+    val v = if (config.metric == "cosine") v0.withColumn("n", norm(col("v"))) else v0
+    def restrict(side: DataFrame, ids: Option[DataFrame]): DataFrame = ids match {
+      case Some(s) => side.join(broadcast(s.select(col("id"))), Seq("id"))
+      case None    => side
+    }
+    val src = restrict(v, config.sourceIds)
+      .select(col("id").as("item1") +: col("v").as("v1") +:
+        (if (config.metric == "cosine") Seq(col("n").as("n1")) else Nil): _*)
+    val tgt = restrict(v, config.targetIds)
+      .select(col("id").as("item2") +: col("v").as("v2") +:
+        (if (config.metric == "cosine") Seq(col("n").as("n2")) else Nil): _*)
+    val metricExpr: Column = config.metric match {
+      case "cosine"    => dot(col("v1"), col("v2")) / (col("n1") * col("n2"))
+      case "euclidean" => euclideanSimilarity(col("v1"), col("v2"))
+      case "pearson"   => pearson(col("v1"), col("v2"))
+      case "overlap"   => overlap(col("v1"), col("v2"))
+    }
+    val sims = src.crossJoin(tgt).where(col("item1") =!= col("item2"))
+      .select(col("item1"), col("item2"), metricExpr.as("similarity"))
+      .where(col("similarity") >= config.similarityCutoff)
+    val ranked = sims.withColumn("rank",
+      row_number().over(Window.partitionBy("item1")
+        .orderBy(col("similarity").desc, col("item2").asc)))
+    if (config.topK > 0) ranked.where(col("rank") <= config.topK) else ranked
+  }
+
+  /**
    * IVF-style coarse quantization: assign each vector to the nearest of
    * `nCentroids` deterministic pseudo-centroids (sampled by id hash), then
    * search within cells. Demonstrates the partition-pruned ANN layout; the

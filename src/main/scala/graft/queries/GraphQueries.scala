@@ -191,7 +191,7 @@ object GraphQueries {
   def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val (g, verts) = simpleGraph(spark, dir)
     val allowed = verts.where(col("repo") <= "r002000").select(col("id"))
-    val sims = NodeSimilarity.run(g, NodeSimilarity.Config(topK = 5,
+    val sims = NodeSimilarity.run(g, NodeSimilarity.Config(topK = Some(5),
       orientation = Orientation.Undirected, sourceNodes = Some(allowed)))
     sims
       .join(verts.select(col("id").as("node1"), col("repo").as("repo1")), Seq("node1"))
@@ -205,7 +205,7 @@ object GraphQueries {
   def nodeSimilarityWeighted(spark: SparkSession, dir: String): DataFrame = {
     val (g, verts) = graph(spark, dir)
     val allowed = verts.where(col("repo") <= "r002000").select(col("id"))
-    val sims = NodeSimilarity.run(g, NodeSimilarity.Config(topK = 5,
+    val sims = NodeSimilarity.run(g, NodeSimilarity.Config(topK = Some(5),
       weighted = true, orientation = Orientation.Undirected,
       sourceNodes = Some(allowed)))
     sims
@@ -406,5 +406,98 @@ object GraphQueries {
     val r = RandomWalk.run(g, RandomWalk.Config(steps = 5))
     r.join(verts.select(col("id").as("start"), col("repo")), Seq("start"))
       .select(col("walkId"), col("repo"), col("path"))
+  }
+
+  /** Induced ≤ r000500 WEIGHTED subgraph (parallel edges kept; path
+   *  algorithms min-aggregate internally). */
+  private def weightedSubgraph(spark: SparkSession, dir: String,
+      bound: String = "r000500"): (PropertyGraph, DataFrame) = {
+    val (g, verts) = graph(spark, dir)
+    val sub = verts.where(col("repo") <= bound).select(col("id"))
+    val subEdges = g.edges
+      .join(sub.withColumnRenamed("id", "src"), Seq("src"))
+      .join(sub.withColumnRenamed("id", "dst"), Seq("dst"))
+    (PropertyGraph(sub, subEdges), verts)
+  }
+
+  /** A* (admissible h = 0 ⇒ exact Dijkstra costs) point-to-point on the
+   *  induced ≤ r000500 weighted subgraph: source = first repo, targets =
+   *  the 3 lexicographically-largest subgraph repos; one row per REACHED
+   *  target. Oracle: Bellman-Ford unrolled to convergence in SQL — path
+   *  COSTS are unique even where paths aren't. */
+  def astar(spark: SparkSession, dir: String): DataFrame = {
+    val (sg, verts) = weightedSubgraph(spark, dir)
+    val targets = verts.where(col("repo") <= "r000500")
+      .orderBy(col("repo").desc).limit(3)
+      .select(col("id"), col("repo")).collect()
+    val zeroH = sg.nodes.select(col("id"), lit(0.0).as("h"))
+    val rows = targets.toSeq.flatMap { t =>
+      ShortestPaths.aStar(sg, source = 0L, target = t.getLong(0),
+        heuristic = zeroH, orientation = Orientation.Undirected)
+        .map(p => (t.getString(1), p.cost))
+    }
+    import spark.implicits._
+    rows.toDF("target_repo", "cost")
+      .select(col("target_repo"), round(col("cost"), 6).as("cost"))
+  }
+
+  /** Delta-stepping SSSP (Δ=3, exact ≡ Dijkstra) from the first repo on
+   *  the induced ≤ r000500 weighted subgraph; unreached omitted. Same
+   *  BF-to-convergence oracle family as `astar`. */
+  def deltaStepping(spark: SparkSession, dir: String): DataFrame = {
+    val (sg, verts) = weightedSubgraph(spark, dir)
+    val dist = Traversal.deltaStepping(sg, source = 0L, delta = 3.0,
+      orientation = Orientation.Undirected)
+    toRepo(dist.where(col("distance") =!= Double.PositiveInfinity)
+      .select(col("id"), round(col("distance"), 6).as("distance")), verts, "distance")
+  }
+
+  /** Yen's K=3 loopless shortest paths source → max subgraph repo on the
+   *  induced ≤ r000300 weighted subgraph (rows-only: simple-path
+   *  enumeration has no tractable SQL oracle; Yen's semantics are pinned
+   *  by YensTest unit fixtures). Path rendered as repo chain. */
+  def yens(spark: SparkSession, dir: String): DataFrame = {
+    val (sg, verts) = weightedSubgraph(spark, dir, bound = "r000300")
+    val sub = verts.where(col("repo") <= "r000300")
+    val target = sub.agg(max("id")).head().getLong(0)
+    val repoOf = sub.select(col("id"), col("repo")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val paths = ShortestPaths.yens(sg, source = 0L, target = target, k = 3,
+      orientation = Orientation.Undirected)
+    import spark.implicits._
+    paths.zipWithIndex.map { case (p, i) =>
+      ((i + 1).toLong, p.cost, p.path.map(repoOf).mkString("->"))
+    }.toDF("rank", "cost", "path")
+  }
+
+  /** One-hot lang encoding per repo (gds.alpha.ml.oneHotEncoding) over the
+   *  global sorted category list; exercised through the actual encoder
+   *  function, projected to scalar columns for the portable oracle. */
+  def oneHot(spark: SparkSession, dir: String): DataFrame = {
+    val langs = codeFiles(spark, dir).groupBy("repo")
+      .agg(array_sort(collect_set("lang")).as("langs"))
+    val enc = graft.pipeline.Similarity.oneHotEncoding(
+      array(lit("java"), lit("py"), lit("scala")), col("langs"))
+    langs.select(col("repo"), enc.getItem(0).as("has_java"),
+      enc.getItem(1).as("has_py"), enc.getItem(2).as("has_scala"))
+  }
+
+  /** Catalog round-trip: create a named graph, MUTATE two computed node
+   *  properties into it (degree, weighted out-degree), then STREAM them
+   *  long-form — gds.graph.streamNodeProperties (B4/F3 surface). */
+  def streamNodeProps(spark: SparkSession, dir: String): DataFrame = {
+    val (gs, verts) = simpleGraph(spark, dir)
+    val (gw, _) = graph(spark, dir)
+    val name = s"gate_stream_$dir".replaceAll("[^a-zA-Z0-9]", "_")
+    if (GraphCatalog.exists(name)) GraphCatalog.drop(name)
+    GraphCatalog.create(name, PropertyGraph(gs.nodes.select(col("id")), gs.edges))
+    ExecutionModes.mutate(name, gs.degrees(Orientation.Undirected), "degree", "degree")
+    ExecutionModes.mutate(name,
+      DegreeCentrality.run(gw, DegreeCentrality.Config(weighted = true)),
+      "score", "wdegree")
+    val streamed = CatalogOps.streamNodeProperties(name, Seq("degree", "wdegree"))
+    streamed.join(verts, Seq("id"))
+      .select(col("repo"), col("property"),
+        coalesce(col("value"), lit(0.0)).as("value"))
   }
 }

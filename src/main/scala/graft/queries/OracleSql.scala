@@ -493,7 +493,83 @@ rankedw AS (SELECT a, b, s, row_number() OVER
 SELECT a AS repo1, b AS repo2, round(s, 6) AS similarity, CAST(rank AS BIGINT) AS rank
 FROM rankedw WHERE rank <= 5"""
 
+  /** Bellman-Ford unrolled `rounds` times from the min subgraph repo over
+   *  the induced ≤`bound` undirected min-parallel-weight view. With enough
+   *  rounds this is CONVERGED (verified empirically: extra rounds change
+   *  nothing at the gate scales), so it equals Dijkstra / A-star /
+   *  delta-stepping exactly — costs are unique even where paths aren't. */
+  private def subBfUnrolled(rounds: Int, bound: String): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""b$k AS MATERIALIZED (SELECT x.id, min(x.d) AS d FROM (
+         SELECT id, d FROM b${k - 1}
+         UNION ALL
+         SELECT e.dst AS id, p.d + e.w AS d
+         FROM b${k - 1} p JOIN sewmin e ON e.src = p.id) x GROUP BY x.id)"""
+    }.mkString(",\n")
+    s""",
+subn AS MATERIALIZED (SELECT id FROM nodes WHERE id <= '$bound'),
+sewmin AS MATERIALIZED (SELECT t.src, t.dst, min(t.weight) AS w FROM
+  (SELECT src, dst, weight FROM edges
+   UNION ALL SELECT dst AS src, src AS dst, weight FROM edges) t
+  JOIN subn a ON a.id = t.src JOIN subn b ON b.id = t.dst
+  GROUP BY t.src, t.dst),
+b0 AS (SELECT min(id) AS id, CAST(0.0 AS DOUBLE) AS d FROM subn),
+$steps"""
+  }
+
+  /** A* h=0 point-to-point costs: converged BF distances, restricted to
+   *  the 3 lexicographically-largest subgraph repos (reached only). */
+  val astar: String = graphCte + subBfUnrolled(20, "r000500") + """,
+tg AS (SELECT id FROM subn ORDER BY id DESC LIMIT 3)
+SELECT t.id AS target_repo, round(d.d, 6) AS cost
+FROM tg t JOIN b20 d ON d.id = t.id"""
+
+  /** Delta-stepping distances = the same converged BF surface. */
+  val deltaStepping: String = graphCte + subBfUnrolled(20, "r000500") + """
+SELECT id AS repo, round(d, 6) AS distance FROM b20"""
+
+  val oneHot: String = graphCte + """,
+langs AS (SELECT repo, list_sort(list_distinct(list(lang))) AS ls FROM cf GROUP BY repo)
+SELECT repo,
+  CAST(CASE WHEN list_contains(ls, 'java')  THEN 1 ELSE 0 END AS BIGINT) AS has_java,
+  CAST(CASE WHEN list_contains(ls, 'py')    THEN 1 ELSE 0 END AS BIGINT) AS has_py,
+  CAST(CASE WHEN list_contains(ls, 'scala') THEN 1 ELSE 0 END AS BIGINT) AS has_scala
+FROM langs"""
+
+  /** Long-form property stream after two mutates: undirected simple degree
+   *  + weighted natural out-degree (both formulas already oracle-pinned by
+   *  graph_degree / degree_centrality). */
+  val streamNodeProperties: String = graphCte + """
+SELECT n.id AS repo, 'degree' AS property,
+       CAST(coalesce(du.d, 0) AS DOUBLE) AS value
+FROM nodes n LEFT JOIN du ON du.id = n.id
+UNION ALL
+SELECT n.id AS repo, 'wdegree' AS property, coalesce(s.w, 0.0) AS value
+FROM nodes n LEFT JOIN
+  (SELECT src, sum(weight) AS w FROM edges GROUP BY src) s ON s.src = n.id"""
+
+  /** Configured similarity proc: cosine over user vectors with
+   *  sourceIds (<200) / targetIds (<1000), cutoff 0.0 BEFORE topK=4. */
+  val similarityProc: String = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT * FROM v WHERE vec_id < 200),
+t AS (SELECT * FROM v WHERE vec_id < 1000),
+p AS (SELECT s.vec_id AS item1, t.vec_id AS item2,
+        list_inner_product(s.e, t.e) /
+        (sqrt(list_inner_product(s.e, s.e)) * sqrt(list_inner_product(t.e, t.e))) AS c
+      FROM s JOIN t ON s.vec_id <> t.vec_id),
+f AS (SELECT * FROM p WHERE c >= 0.0),
+r AS (SELECT item1, item2, c, row_number() OVER
+       (PARTITION BY item1 ORDER BY c DESC, item2 ASC) AS rank FROM f)
+SELECT item1, item2, round(c, 6) AS similarity, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 4"""
+
   val all: Map[String, String] = Map(
+    "astar" -> astar,
+    "delta_stepping" -> deltaStepping,
+    "one_hot" -> oneHot,
+    "stream_node_properties" -> streamNodeProperties,
+    "similarity_proc" -> similarityProc,
     "betweenness" -> betweenness,
     "sssp" -> sssp,
     "node_similarity_weighted" -> nodeSimilarityWeighted,

@@ -50,6 +50,21 @@ object PipelineQueries {
       .where(col("h0").isNotNull) // docs with < k tokens have no shingles
   }
 
+  /** Configured similarity proc: user vectors = embeddings, sources
+   *  vec_id < 200, targets vec_id < 1000, cutoff 0.0 applied before
+   *  topK=4 — the reference's sourceIds/targetIds/topK stream shape. */
+  def similarityProc(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val src = e.where(col("vec_id") < 200).select(col("vec_id").as("id"))
+    val tgt = e.where(col("vec_id") < 1000).select(col("vec_id").as("id"))
+    Similarity.proc(e, Similarity.ProcConfig(topK = 4, similarityCutoff = 0.0,
+        sourceIds = Some(src), targetIds = Some(tgt)),
+      idCol = "vec_id", weightsCol = "embedding")
+      .select(col("item1"), col("item2"),
+        round(col("similarity"), 6).as("similarity"),
+        col("rank").cast("long").as("rank"))
+  }
+
   // --- rows-only checks (no portable oracle: xxhash64 / murmur based) ---
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -71,9 +86,13 @@ object PipelineQueries {
 
   def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val withPayload = Multimodal.synthesizePayloads(docs(spark, dir))
-    Multimodal.extractFeatures(Multimodal.resize(withPayload, maxSide = 512))
-      .select(col("doc_id"), col("media.width").as("width"),
-        col("media.height").as("height"),
+    val resized = Multimodal.resize(withPayload, maxSide = 512)
+    // width/height come from PARSING the resized payload's header bytes —
+    // the de-stubbed decode path — not from the metadata struct.
+    val dims = Multimodal.imageDimensions(col("payload"))
+    Multimodal.extractFeatures(resized)
+      .select(col("doc_id"), dims.getField("width").as("width"),
+        dims.getField("height").as("height"),
         length(col("payload")).as("payload_bytes"),
         col("features"))
   }

@@ -12,7 +12,7 @@ class AlgoExtrasSpec extends SparkSpec {
   test("NodeSimilarity: bipartite person→instrument fixture (NodeSimilarity.java docs example)") {
     // persons 0..2 -> instruments 10,11,12; 0:{10,11}, 1:{10,11}, 2:{10,12}
     val g = graphOf(13, Seq((0L, 10L), (0L, 11L), (1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L)))
-    val r = NodeSimilarity.run(g, NodeSimilarity.Config(topK = 10))
+    val r = NodeSimilarity.run(g, NodeSimilarity.Config(topK = Some(10)))
     val sims = r.collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
     assert(sims((0L, 1L)) == 1.0) // identical sets
     assert(math.abs(sims((0L, 2L)) - 1.0 / 3) < 1e-12) // {10} of {10,11,12}
@@ -25,7 +25,7 @@ class AlgoExtrasSpec extends SparkSpec {
     // star: 1..5 each share neighbor 100 with everyone
     val edges = (1 to 5).map(i => (i.toLong, 100L)) ++ Seq((1L, 101L))
     val g = graphOf(102, edges)
-    val r = NodeSimilarity.run(g, NodeSimilarity.Config(topK = 2))
+    val r = NodeSimilarity.run(g, NodeSimilarity.Config(topK = Some(2)))
     val byNode = r.collect().groupBy(_.getLong(0))
     byNode.foreach { case (_, rows) => assert(rows.length <= 2) }
     // node 2's top: nodes 3,4,5 have sim 1.0, node 1 sim 0.5; ties → smaller id

@@ -114,7 +114,10 @@ class PipelineSpec extends SparkSpec {
   test("multimodal plumbing: payload synthesis, stub features deterministic, resize caps dims") {
     val d = docs((1L, "image one content"), (2L, "image two content"))
     val withP = Multimodal.synthesizePayloads(d)
-    assert(withP.select("payload").head().getAs[Array[Byte]](0).length == 64)
+    // 54-byte real BMP header + 64 stand-in pixel bytes (sha512)
+    val payload = withP.select("payload").head().getAs[Array[Byte]](0)
+    assert(payload.length == 54 + 64)
+    assert(payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
     val f1 = Multimodal.extractFeatures(withP).select("doc_id", "features")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val f2 = Multimodal.extractFeatures(withP).select("doc_id", "features")

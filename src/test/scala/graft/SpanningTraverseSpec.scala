@@ -99,7 +99,7 @@ class SpanningTraverseSpec extends SparkSpec {
   test("NodeSimilarity bottomK ranks ascending; topN bounds globally") {
     // star: 0,1,2 all share neighbor 9; 0 also shares 8 with 1
     val g = graphOf(10, Seq((0L, 9L), (1L, 9L), (2L, 9L), (0L, 8L), (1L, 8L)))
-    val bottom = NodeSimilarity.run(g, NodeSimilarity.Config(bottomK = 1))
+    val bottom = NodeSimilarity.run(g, NodeSimilarity.Config(bottomK = Some(1)))
     val b0 = bottom.where(col("node1") === 0).collect()
     assert(b0.length == 1 && b0(0).getLong(1) == 2L) // least similar first
     val topN = NodeSimilarity.run(g, NodeSimilarity.Config(topN = 2))
