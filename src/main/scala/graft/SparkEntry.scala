@@ -61,6 +61,7 @@ object SparkEntry {
     "one_hot" -> (G.oneHot _),
     "stream_node_properties" -> (G.streamNodeProps _),
     "yens" -> (G.yens _),
+    "hyperball" -> (G.hyperball _),
     // rows-only (non-portable hashing / approximate)
     "dedup_simhash" -> (P.dedupSimhash _),
     "dedup_ngram_pairs" -> (P.dedupNgramPairs _),
@@ -93,7 +94,7 @@ object SparkEntry {
     "link_prediction",
     // heavier full-graph / weighted algorithms
     "pagerank_weighted", "lpa", "sssp", "scc", "closeness",
-    "all_shortest_paths", "astar", "delta_stepping",
+    "all_shortest_paths", "astar", "delta_stepping", "hyperball",
     // bounded-subgraph / quadratic-candidate operators
     "node_similarity", "node_similarity_weighted", "mst", "dfs",
     "random_walks", "yens",

@@ -482,6 +482,20 @@ object GraphQueries {
       enc.getItem(1).as("has_py"), enc.getItem(2).as("has_scala"))
   }
 
+  /** HyperBall sketched harmonic/closeness on the FULL graph — the scale
+   *  path for centralities whose exact form is O(n²) (rows-only: HLL
+   *  register estimates have no portable SQL oracle; accuracy bounds are
+   *  pinned against exact Closeness in HyperBallSpec). */
+  def hyperball(spark: SparkSession, dir: String): DataFrame = {
+    val (g, verts) = simpleGraph(spark, dir)
+    val r = HyperBall.run(g)
+    toRepo(r.select(col("id"),
+      round(col("reachable"), 2).as("reachable"),
+      round(col("harmonic"), 6).as("harmonic"),
+      round(col("closeness"), 6).as("closeness")),
+      verts, "reachable", "harmonic", "closeness")
+  }
+
   /** Catalog round-trip: create a named graph, MUTATE two computed node
    *  properties into it (degree, weighted out-degree), then STREAM them
    *  long-form — gds.graph.streamNodeProperties (B4/F3 surface). */

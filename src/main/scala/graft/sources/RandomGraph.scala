@@ -58,4 +58,31 @@ object RandomGraph {
 
     PropertyGraph(base, edges)
   }
+
+  /**
+   * Random node properties — RandomGraphGenerator.java:85-119's
+   * nodePropertyProducers: uniform doubles in [min, max) as a pure hash
+   * of (id, property name, seed); identical at any parallelism where the
+   * reference's per-thread Random is not.
+   */
+  def withRandomNodeProperty(graph: PropertyGraph, name: String,
+      min: Double = 0.0, max: Double = 1.0, seed: Long = 42L): PropertyGraph = {
+    val u = pmod(xxhash64(col("id"), lit(name), lit(seed)), lit(1000000007L))
+      .cast("double") / 1000000007.0
+    PropertyGraph(
+      graph.nodes.withColumn(name, lit(min) + u * (max - min)),
+      graph.edges)
+  }
+
+  /** Random relationship weight — RandomGraphGenerator.java:121-160's
+   *  relationshipPropertyProducer: uniform in [min, max) hashed from
+   *  (src, dst, seed); replaces the `weight` column. */
+  def withRandomRelationshipWeight(graph: PropertyGraph,
+      min: Double = 0.0, max: Double = 1.0, seed: Long = 42L): PropertyGraph = {
+    val u = pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(1000000007L))
+      .cast("double") / 1000000007.0
+    PropertyGraph(
+      graph.nodes,
+      graph.edges.withColumn("weight", lit(min) + u * (max - min)))
+  }
 }
