@@ -15,7 +15,7 @@ object Bench {
     // old 8g default heap — log what this run actually has so bench
     // artifacts are self-explaining.
     System.err.println(s"[bench] maxHeap=${Runtime.getRuntime.maxMemory() >> 20}MiB " +
-      s"cpus=$cpus aqe=${spark.conf.get("spark.sql.adaptive.enabled", "?")} sf=$sfDir")
+      s"cpus=$cpus aqe=${spark.conf.get("spark.sql.adaptive.enabled", "true")} sf=$sfDir")
     // Warm the shared ingest caches (edge derivation + simple-graph
     // distinct) so per-query timings measure the operator, not whichever
     // query happens to run first.
@@ -25,10 +25,14 @@ object Bench {
       (System.nanoTime() - w0) / 1e9
     } catch { case _: Throwable => -1.0 }
     System.err.println(f"[bench] warmup (ingest+caches): $warmupSec%.1fs")
-    val ordered = SparkEntry.orderedQueryNames
+    // optional subset for A/B isolation runs (comma-separated names); the
+    // driver never sets this — full order is the default.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val ordered = (SparkEntry.orderedQueryNames
       .flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filterNot { case (n, _) => SparkEntry.orderedQueryNames.contains(n) }
+        .filterNot { case (n, _) => SparkEntry.orderedQueryNames.contains(n) })
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
@@ -36,7 +40,7 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // per-query AQE assertion: iterative algorithms toggle it scoped to
       // their loop; it must ALWAYS read back as the session default here.
-      val aqe = spark.conf.get("spark.sql.adaptive.enabled", "?")
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
       System.err.println(f"[bench] $name: $sec%.1fs ($n rows, aqe=$aqe)")
       name -> sec
     }

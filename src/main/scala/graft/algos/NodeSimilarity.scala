@@ -127,13 +127,35 @@ object NodeSimilarity {
       (col("smin") / (col("wda") + col("wdb") - col("smin"))).as("similarity"))
       .where(col("similarity") >= config.similarityCutoff)
 
-    val topk = udaf(new TopKAgg(config.effectiveK, config.ascending),
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val ranked = sims.groupBy("node1")
-      .agg(topk(col("node2"), col("similarity")).as("top"))
-      .select(col("node1"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("node1"), col("t._2").as("node2"), col("t._1").as("similarity"),
-        (col("pos") + 1).cast("int").as("rank"))
+    // Two physical plans for the per-node K bound, same logical result and
+    // tie-break ((similarity, node2 asc)):
+    //  - bounded endpoint set (sourceNodes): window row_number over the
+    //    restricted pair set — the typed-aggregator per-row conversion
+    //    overhead isn't worth paying when the candidate set is already
+    //    capped (measured 2× slower than the window at bench scale);
+    //  - full graph: bounded-heap partial aggregation — the quadratic
+    //    candidate stream reduces map-side to ≤K rows per node per
+    //    partition instead of materializing into one giant window sort
+    //    (full sf0.1 graph: completes in ~29 min where the window path
+    //    does not finish; see BASELINE.md).
+    val ranked = if (config.sourceNodes.isDefined) {
+      import org.apache.spark.sql.expressions.Window
+      val order =
+        if (config.ascending)
+          Window.partitionBy("node1").orderBy(col("similarity").asc, col("node2").asc)
+        else
+          Window.partitionBy("node1").orderBy(col("similarity").desc, col("node2").asc)
+      sims.withColumn("rank", row_number().over(order))
+        .where(col("rank") <= config.effectiveK)
+    } else {
+      val topk = udaf(new TopKAgg(config.effectiveK, config.ascending),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+      sims.groupBy("node1")
+        .agg(topk(col("node2"), col("similarity")).as("top"))
+        .select(col("node1"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("node1"), col("t._2").as("node2"), col("t._1").as("similarity"),
+          (col("pos") + 1).cast("int").as("rank"))
+    }
 
     // global N bound applied AFTER the per-node K bound, like the
     // reference's topN-over-topK pipeline (NodeSimilarity.java:201-230).

@@ -37,7 +37,18 @@ object Lineage {
    *  measured 2-3× win there (bench r2: louvain 17→58 s, scc 12→32 s when
    *  AQE was blanket-disabled), while big superstep frames measure the
    *  opposite (re-planning latency, nothing to broadcast). Callers gate on
-   *  the edge-frame row count (see Pregel.run). */
+   *  the edge-frame row count (see Pregel.run).
+   *
+   *  CONCURRENCY CONTRACT (ADVICE r2): the toggle mutates the session conf
+   *  for the loop's duration, so algorithm runs assume a single-threaded
+   *  driver — a query submitted CONCURRENTLY on the same SparkSession
+   *  while a big iterative loop is in flight would silently run without
+   *  AQE (and concurrent save/restore could race). This matches how every
+   *  entry point here drives Spark (Verify/Bench/GdsApp are sequential);
+   *  callers running algorithms from multiple driver threads must hand
+   *  each thread its own `SparkSession.newSession()` (configs are
+   *  session-scoped; cached data is shared via SharedState, so the split
+   *  costs nothing). */
   def withFastIteration[A](spark: org.apache.spark.sql.SparkSession,
       enabled: Boolean)(body: => A): A = {
     if (!enabled) body
