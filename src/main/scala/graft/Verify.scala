@@ -34,9 +34,24 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // GC-driven ContextCleaner cleanup may never fire under a big heap
+      // across a ~50-query run; sweep shuffle/broadcast metadata regularly.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Warm every shared cache, snapshot the persisted-RDD ids, and release
+    // per-query result/checkpoint blocks after each query — without this a
+    // full gate run accumulates ~50 queries' blocks, evicts the shared
+    // caches, and algorithms re-derive their input graph per superstep
+    // (the r3 full-run degradation; see CacheHygiene).
+    val keep = try {
+      graft.queries.GraphQueries.warmShared(spark, sfDir)
+      graft.core.CacheHygiene.persistedIds(spark)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] warmup failed: ${e.getMessage}"); Set.empty[Int]
+    }
 
     val manifest = scala.collection.mutable.LinkedHashMap[String, String]()
     def flushManifest(): Unit = {
@@ -82,6 +97,7 @@ object Verify {
           manifest(name) = s"""{"error": ${q(msg)}, "seconds": ${f"$sec%.2f"}}"""
           System.err.println(s"[verify] $name failed: $msg")
         }
+        graft.core.CacheHygiene.releaseAllExcept(spark, keep): Unit
         flushManifest()
       }
     spark.stop()

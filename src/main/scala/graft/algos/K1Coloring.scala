@@ -60,14 +60,19 @@ object K1Coloring {
         .where(col("ca") === col("cb"))
         .select(greatest(col("src"), col("dst")).as("id")).distinct()
 
+      // the queued count rides the cutLineage materialization via
+      // observe() — one Spark action per round, not two (the separate
+      // count() was ~half the per-round latency at gate scale).
+      val obs = org.apache.spark.sql.Observation()
       val next = recolored
         .join(conflicts.withColumn("q", lit(true)), Seq("id"), "left_outer")
         .select(col("id"), col("color"), coalesce(col("q"), lit(false)).as("queued"))
+        .observe(obs, sum(col("queued").cast("long")).as("q"))
         .cutLineage()
       Lineage.release(colors)
       colors = next
 
-      queued = colors.where(col("queued")).count()
+      queued = Option(obs.get("q")).map(_.asInstanceOf[Long]).getOrElse(0L)
       iter += 1
     }
     colors.select(col("id"), col("color"))

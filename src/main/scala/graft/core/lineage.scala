@@ -65,3 +65,44 @@ object Lineage {
   def aqeOffMinEdges(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("graft.aqeOff.minEdges").map(_.toLong).getOrElse(16000000L)
 }
+
+/**
+ * Per-query storage hygiene for long single-JVM runs (Bench/Verify drive
+ * ~50 queries through one SparkSession). Every algorithm's FINAL returned
+ * frame is a cut/checkpointed DataFrame whose blocks stay persisted after
+ * the caller's action — harmless per query, but across a 48-query run the
+ * block sets pile up, storage memory fills, the LRU evicts the SHARED
+ * ingest/subgraph caches, and the next iterative algorithm re-derives its
+ * input graph inside every superstep (the r3 signature: hyperball 11 s
+ * isolated vs 300 s mid-run). The fix is structural, not GC tuning:
+ * snapshot the shared-cache RDD ids once after warm-up, then after each
+ * query unpersist every persisted RDD that is not in the snapshot.
+ */
+object CacheHygiene {
+  import org.apache.spark.sql.SparkSession
+
+  /** Ids of currently-persisted RDDs — call right after warming the shared
+   *  caches to get the keep-set. */
+  def persistedIds(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Unpersist every persisted RDD whose id is not in `keep` (the
+   *  per-query result/checkpoint blocks). Returns how many were dropped. */
+  def releaseAllExcept(spark: SparkSession, keep: Set[Int]): Int = {
+    val garbage = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => keep(id) }
+    garbage.values.foreach(_.unpersist(blocking = false))
+    garbage.size
+  }
+
+  /** One-line storage telemetry: persisted-RDD count (kept + new) and
+   *  driver block-manager memory in use — the instrumentation the r3
+   *  verdict asked for after every bench query. */
+  def storageLine(spark: SparkSession, keep: Set[Int]): String = {
+    val ids = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val keptAlive = ids.count(keep)
+    val mem = spark.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, free) => max - free }.sum >> 20
+    s"rdds=${ids.size} keptShared=$keptAlive/${keep.size} storageMiB=$mem"
+  }
+}

@@ -170,7 +170,7 @@ FROM nodes n LEFT JOIN du ON du.id = n.id LEFT JOIN tcnt tc ON tc.id = n.id"""
   val nodeSimilarity: String = graphCte + """,
 inter AS (SELECT l.src AS a, r.src AS b, count(*) AS i
           FROM eu l JOIN eu r ON l.dst = r.dst AND l.src <> r.src
-          WHERE l.src <= 'r002000' AND r.src <= 'r002000'
+          WHERE l.src <= 'r001000' AND r.src <= 'r001000'
           GROUP BY l.src, r.src),
 sim AS (SELECT a, b, CAST(i AS DOUBLE) / (da.d + db.d - i) AS s
         FROM inter JOIN du da ON da.id = a JOIN du db ON db.id = b),
@@ -483,7 +483,7 @@ FROM reach GROUP BY s, id"""
   val nodeSimilarityWeighted: String = graphCte + """,
 interw AS (SELECT l.src AS a, r.src AS b, sum(least(l.w, r.w)) AS smin
            FROM ew l JOIN ew r ON l.dst = r.dst AND l.src <> r.src
-           WHERE l.src <= 'r002000' AND r.src <= 'r002000'
+           WHERE l.src <= 'r001000' AND r.src <= 'r001000'
            GROUP BY l.src, r.src),
 simw AS (SELECT a, b, smin / (da.wd + db.wd - smin) AS s
          FROM interw JOIN wdeg da ON da.id = a JOIN wdeg db ON db.id = b),
