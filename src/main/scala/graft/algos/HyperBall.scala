@@ -62,13 +62,18 @@ object HyperBall {
       .cutLineage()
 
     /** HLL estimate per node from the sparse register rows: zeros register
-     *  contribute 2^0 = 1 each; linear counting below the 2.5m knee. */
+     *  contribute 2^0 = 1 each; linear counting below the 2.5m knee.
+     *  Σ 2^-r is summed as SCALED INTEGERS (2^(30-r) is exact in a long;
+     *  ranks are capped at 30, so per-node Σ ≤ m·2^29 « 2^63): a double
+     *  sum's partial-aggregation order varies with partitioning, which
+     *  broke bit-determinism in the last ulp (ADVICE r3). */
     def estimate(st: DataFrame): DataFrame = {
       val zeros = lit(m.toDouble) - col("nnz")
-      val raw = lit(alpha * m * m) / (zeros + col("s"))
+      val s = col("sInt").cast("double") / (1L << 30).toDouble
+      val raw = lit(alpha * m * m) / (zeros + s)
       st.groupBy("id")
         .agg(count(lit(1)).cast("double").as("nnz"),
-          sum(pow(lit(0.5), col("r"))).as("s"))
+          sum(pow(lit(2.0), lit(30) - col("r")).cast("long")).as("sInt"))
         .select(col("id"),
           when(raw < 2.5 * m && zeros > 0.0,
             lit(m.toDouble) * log(lit(m.toDouble) / zeros))

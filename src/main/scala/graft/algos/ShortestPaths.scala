@@ -98,12 +98,29 @@ object ShortestPaths {
     state.select(col("id"), col("dist"), col("pred"))
   }
 
-  /** Walk preds target→source. None when target unreached. One bounded
-   *  collect of the finite-distance rows (≤ reachable-set size), then a
-   *  driver-side map walk — replaces the one-Spark-job-per-hop pattern. */
-  def reconstruct(relaxed: DataFrame, source: Long, target: Long): Option[PathResult] = {
-    val finite = relaxed.where(col("dist") < Double.PositiveInfinity)
-      .select(col("id"), col("dist"), col("pred")).collect()
+  /** Walk preds target→source. None when target unreached. One collect of
+   *  the candidate rows, then a driver-side map walk — replaces the
+   *  one-Spark-job-per-hop pattern. The collect is PRUNED to rows with
+   *  `dist <= dist(target)` (with non-negative weights every on-path
+   *  predecessor satisfies this) and GUARDED like Traversal.traverse:
+   *  on an unbounded Dijkstra over a large mostly-connected graph the
+   *  unpruned finite set is the whole reachable set — an O(n) driver
+   *  collect that the old per-hop lookup never needed (ADVICE r3). */
+  def reconstruct(relaxed: DataFrame, source: Long, target: Long,
+      maxCollectRows: Long = 2000000L): Option[PathResult] = {
+    val tRow = relaxed
+      .where(col("id") === target && col("dist") < Double.PositiveInfinity)
+      .select(col("dist")).collect()
+    if (tRow.isEmpty) return None
+    val targetDist = tRow(0).getDouble(0)
+    val pruned = relaxed.where(col("dist") <= targetDist)
+      .select(col("id"), col("dist"), col("pred"))
+    val n = pruned.count()
+    if (n > maxCollectRows)
+      throw new IllegalStateException(
+        s"path reconstruction would collect $n rows (> $maxCollectRows); " +
+          "raise maxCollectRows only with driver heap ≈ 48·rows bytes to spare")
+    val finite = pruned.collect()
     val dist = finite.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val pred = finite.filterNot(_.isNullAt(2))
       .map(r => r.getLong(0) -> r.getLong(2)).toMap

@@ -237,53 +237,80 @@ object Traversal {
    * operator exists for the reference's bounded exploratory API, so raising
    * the guard is an explicit caller decision, not a default.
    *
+   * Exit predicate + cost aggregator (Traverse.java:34-77): the predicate
+   * sees `(sourceOfHop, node, accumulatedWeight)` and returns
+   * Follow/Continue/Break; the aggregator computes the weight carried to a
+   * pushed neighbor from `(source, target, sourceWeight, edgeWeight)` —
+   * a strict superset of the reference's 3-arg form, whose aggregators
+   * closure-read the edge property off the graph (TraverseTest uses
+   * `(s,t,w) -> w + 1.` for hop budgets; ours additionally hands the
+   * stored edge weight so cost budgets need no lookup).
+   *
    * @param targets   BREAK when popping one of these (it is included last)
    * @param maxDepth  CONTINUE past nodes deeper than this (hop count)
-   * @return (id, visitOrder) in visit sequence, visitOrder 0-based
+   * @param exitPredicate overrides the targets/maxDepth defaults entirely
+   * @param aggregator    weight carried to each pushed neighbor (default 0)
+   * @return (id, visitOrder, weight) in visit sequence, visitOrder 0-based
    */
   def traverse(graph: PropertyGraph, source: Long, dfs: Boolean,
       targets: Set[Long] = Set.empty,
       maxDepth: Long = Long.MaxValue,
       orientation: Orientation = Orientation.Natural,
-      maxCollectNodes: Long = 100000L): DataFrame = {
+      maxCollectNodes: Long = 100000L,
+      exitPredicate: Option[(Long, Long, Double) => Exit] = None,
+      aggregator: (Long, Long, Double, Double) => Double = (_, _, _, _) => 0.0)
+      : DataFrame = {
     val spark = graph.spark
     val nodeCount = graph.nodes.count()
     require(nodeCount <= maxCollectNodes,
       s"traverse() is a sequential visit-order operator; $nodeCount nodes exceeds " +
         s"maxCollectNodes=$maxCollectNodes — use bfsLevels/sssp at scale")
-    val adj: Map[Long, Array[Long]] = graph.adjacency(orientation).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // weighted sorted adjacency (min-aggregated parallel edges, dst asc —
+    // the same stored-weight semantics relationshipProperty() reads)
+    val adj: Map[Long, Array[(Long, Double)]] = graph.oriented(orientation)
+      .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("w"))
+      .groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("w")))).as("nbrs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getDouble(1))).toArray).toMap
 
-    val visited = scala.collection.mutable.Set(source)
-    val inResult = scala.collection.mutable.Set[Long]()
-    val result = scala.collection.mutable.ArrayBuffer[Long]()
-    // deque of (node, depth); DFS = push front, BFS = push back
-    val deque = new java.util.ArrayDeque[(Long, Long)]()
-    deque.addFirst((source, 0L))
-    var break = false
-    while (!deque.isEmpty && !break) {
-      val (node, depth) = deque.removeFirst()
-      val exit: Exit =
+    // depth rides along only to serve the default maxDepth predicate
+    val exit: (Long, Long, Double, Long) => Exit = exitPredicate match {
+      case Some(p) => (s, t, w, _) => p(s, t, w)
+      case None => (_, node, _, depth) =>
         if (targets.contains(node)) Exit.Break
         else if (depth > maxDepth) Exit.Continue
         else Exit.Follow
-      exit match {
+    }
+
+    val visited = scala.collection.mutable.Set(source)
+    val inResult = scala.collection.mutable.Set[Long]()
+    val result = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    // deque of (sourceOfHop, node, weight, depth); DFS push front, BFS back
+    val deque = new java.util.ArrayDeque[(Long, Long, Double, Long)]()
+    deque.addFirst((source, source, 0.0, 0L))
+    var break = false
+    while (!deque.isEmpty && !break) {
+      val (src, node, weight, depth) = deque.removeFirst()
+      exit(src, node, weight, depth) match {
         case Exit.Break =>
-          if (inResult.add(node)) result += node
+          if (inResult.add(node)) result += ((node, weight))
           break = true
         case Exit.Continue => () // skip expansion
         case Exit.Follow =>
-          if (inResult.add(node)) result += node
-          for (t <- adj.getOrElse(node, Array.empty)) {
+          if (inResult.add(node)) result += ((node, weight))
+          for ((t, ew) <- adj.getOrElse(node, Array.empty[(Long, Double)])) {
             if (visited.add(t)) {
-              if (dfs) deque.addFirst((t, depth + 1))
-              else deque.addLast((t, depth + 1))
+              val nw = aggregator(node, t, weight, ew)
+              if (dfs) deque.addFirst((node, t, nw, depth + 1))
+              else deque.addLast((node, t, nw, depth + 1))
             }
           }
       }
     }
     import spark.implicits._
-    result.toSeq.zipWithIndex.map { case (id, i) => (id, i.toLong) }
-      .toDF("id", "visitOrder")
+    result.toSeq.zipWithIndex.map { case ((id, w), i) => (id, i.toLong, w) }
+      .toDF("id", "visitOrder", "weight")
   }
 }

@@ -13,13 +13,13 @@ import org.apache.spark.sql.types._
  * 'BM' magic + BITMAPINFOHEADER with little-endian width/height, followed
  * by deterministic pixel bytes), `imageDimensions` parses width/height
  * from the actual payload bytes (BMP little-endian and PNG big-endian
- * IHDR), and `resize` re-encodes the payload's header in place — all as
- * codegen'd Column expressions, no UDFs. Only the pixel-level transforms
- * (`extractFeatures` folds, `sampleFrames`) remain deterministic fakes,
- * clearly marked, because this container ships no image/audio codecs; on
- * a real cluster those bodies become an `mapInArrow`/Pandas-UDF batch
- * calling PIL/ffmpeg with byte-bounded batches, and every plan shape
- * stays identical.
+ * IHDR), `resize` re-encodes the payload's header in place, and
+ * `extractFeatures` does REAL raster math over the BMP pixel bytes (mean
+ * R/G/B + luminance histogram, stride-aware) — all as Column expressions,
+ * no UDFs. Only video `sampleFrames` remains a deterministic fake,
+ * clearly marked, because this container ships no video codecs; on a real
+ * cluster that body becomes an `mapInArrow`/Pandas-UDF batch calling
+ * ffmpeg with byte-bounded batches, and every plan shape stays identical.
  *
  * Scale notes: payload rows are fat — `repartitionByBytes` targets a fixed
  * number of payload bytes per task so executors don't OOM on 100 MB
@@ -136,33 +136,85 @@ object Multimodal {
       substring(col("payload"), 1, 18),
       to_binary(concat(le32hex(nw), le32hex(nh)), lit("hex")),
       expr("substring(payload, 27, 2147483647)"))
+    // Metadata dims change ONLY where the header was actually rewritten
+    // (BMP): a PNG payload keeping its header must keep its prior metadata
+    // too, and an unknown-magic payload must not have valid dims nulled by
+    // the failed parse (ADVICE r3 — 'payload agrees with metadata by
+    // construction' has to hold for every branch).
     df.withColumn("payload", when(isBmp, rewritten).otherwise(col("payload")))
       .withColumn("media", struct(
         col("media.media_type"), col("media.mime"),
-        nw.as("width"),
-        nh.as("height"),
+        when(isBmp, nw).otherwise(col("media.width")).as("width"),
+        when(isBmp, nh).otherwise(col("media.height")).as("height"),
         col("media.sample_rate"), col("media.duration_ms")))
   }
 
   /**
-   * STUB — deterministic fake "decode + feature extract" (pixel level).
+   * Pixel-level feature extraction over BMP payloads — REAL raster math
+   * (de-stubbed r4): parse the pixel-data offset and width from the file
+   * header, strip the 4-byte row padding via the computed stride, and
+   * compute `[meanR, meanG, meanB] ++ luminance-histogram(histBins)` over
+   * the 24 bpp BGR triplets — entirely with Column HOFs (transform /
+   * filter / aggregate / slice), no UDF. Rasters shorter than one padded
+   * row (our synthetic payloads carry 64 stand-in pixel bytes) use every
+   * complete triplet present — same math, shorter stream. Non-BMP
+   * payloads and empty rasters yield null features (quarantine-sink
+   * semantics, as imageDimensions).
    *
-   * Real deployment: an `mapInArrow`/Pandas-UDF batch calling the codec
-   * (PIL/ffmpeg) per payload, batch size bounded by bytes not rows. Here
-   * the "features" are a pure function of the payload bytes (xxhash64
-   * folds), so tests can assert the full plumbing — schema, nullability,
-   * determinism, partition shape — end to end.
+   * On a real cluster with codec'd formats (JPEG/video) this body becomes
+   * a `mapInArrow` batch calling the codec, batch size bounded by bytes
+   * (`repartitionByBytes`); the plan shape — a shuffle-free projection
+   * over the payload column — stays identical.
    *
-   * @return (…, features: array<double> of length `dim`)
+   * @return (…, features: array<double> of length 3 + histBins)
    */
-  def extractFeatures(df: DataFrame, dim: Int = 8,
+  def extractFeatures(df: DataFrame, histBins: Int = 8,
       payloadCol: String = "payload"): DataFrame = {
-    val feats = (0 until dim).map { i =>
-      // fold payload bytes + lane index into [-1, 1]
-      (pmod(xxhash64(col(payloadCol), lit(i)), lit(2000001L)).cast("double")
-        / 1000000.0 - 1.0)
-    }
-    df.withColumn("features", array(feats: _*))
+    val p = col(payloadCol)
+    val isBmp = hex(substring(p, 1, 2)) === "424D"
+    val pixOff = le32parse(substring(p, 11, 4)) // file-header offset 10
+    val w = le32parse(substring(p, 19, 4))      // info-header width
+    // raster bytes (possibly truncated) as an int array: hex → 2-char chunks
+    val pxRaw = transform(regexp_extract_all(
+        hex(p.substr(pixOff + 1, length(p) - pixOff)), lit(".."), lit(0)),
+      c => conv(c, 16, 10).cast("int"))
+    val binW = 256.0 / histBins
+    // HOFs run interpreted (CodegenFallback), where Catalyst does NO
+    // common-subexpression elimination: every element_at(usable, …) would
+    // re-evaluate the whole hex→regexp→transform chain (measured 13× on
+    // the gate query). Bind each intermediate ONCE per row as a lambda
+    // variable via `transform(array(x), v => …)[1]` — px, then the
+    // de-padded stream, then the luminance array.
+    val feats = element_at(transform(array(pxRaw), px => {
+      val stride = floor((w * 3 + 3) / 4).cast("int") * 4 // rows pad to 4 B
+      val fullRows = floor(size(px) / stride).cast("int")
+      // de-padded BGR stream: whole rows when present, else every
+      // complete triplet (truncated synthetic rasters)
+      val usable = when(fullRows >= 1,
+          flatten(transform(sequence(lit(0), fullRows - 1),
+            r => slice(px, r * stride + 1, w * 3))))
+        .otherwise(slice(px, lit(1), floor(size(px) / 3).cast("int") * 3))
+      element_at(transform(array(usable), u => {
+        val nTrip = (size(u) / 3).cast("int")
+        def chanMean(offset: Int): Column = // BGR channel offset 0/1/2
+          aggregate(
+            transform(sequence(lit(0), nTrip - 1),
+              i => element_at(u, i * 3 + offset + 1).cast("double")),
+            lit(0.0), (acc, x) => acc + x) / nTrip
+        val lum = transform(sequence(lit(0), nTrip - 1), i =>
+          element_at(u, i * 3 + 1).cast("double") * 0.114 +  // B
+          element_at(u, i * 3 + 2).cast("double") * 0.587 +  // G
+          element_at(u, i * 3 + 3).cast("double") * 0.299)   // R
+        element_at(transform(array(lum), l => {
+          val hist = (0 until histBins).map(b =>
+            size(filter(l, v => floor(v / binW) === b)).cast("double") / nTrip)
+          when(nTrip >= 1,
+            array(Seq(chanMean(2), chanMean(1), chanMean(0)) ++ hist: _*))
+        }), 1)
+      }), 1)
+    }), 1)
+    df.withColumn("features",
+      when(isBmp, feats).otherwise(lit(null).cast("array<double>")))
   }
 
   /** STUB — frame sampling contract for video: emits `n` (frame_idx, ts_ms)

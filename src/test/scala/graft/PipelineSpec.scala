@@ -111,7 +111,7 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
   }
 
-  test("multimodal plumbing: payload synthesis, stub features deterministic, resize caps dims") {
+  test("multimodal plumbing: payload synthesis, real raster features, resize caps dims") {
     val d = docs((1L, "image one content"), (2L, "image two content"))
     val withP = Multimodal.synthesizePayloads(d)
     // 54-byte real BMP header + 64 stand-in pixel bytes (sha512)
@@ -123,11 +123,44 @@ class PipelineSpec extends SparkSpec {
     val f2 = Multimodal.extractFeatures(withP).select("doc_id", "features")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(f1 == f2)
-    assert(f1(1L).size == 8 && f1(1L) != f1(2L))
+    assert(f1(1L).size == 11 && f1(1L) != f1(2L)) // 3 channel means + 8 bins
+    // histogram bins sum to 1 over the triplets actually present
+    assert(math.abs(f1(1L).drop(3).sum - 1.0) < 1e-9)
     val resized = Multimodal.resize(withP, 256)
       .select(col("media.width"), col("media.height")).collect()
     resized.foreach { r => assert(r.getInt(0) <= 256 && r.getInt(1) <= 256) }
     val frames = Multimodal.sampleFrames(withP, 4, "doc_id")
     assert(frames.count() == 8)
+  }
+
+  test("extractFeatures: hand-computed raster fixture (2x2 24bpp BMP, padded rows)") {
+    // Hand-built 2×2 BMP: stride = 8 (3·2 rounded up to 4 B), two rows of
+    // two BGR triplets + 2 pad bytes each.
+    def le32(v: Int): Seq[Byte] =
+      Seq(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def le16(v: Int): Seq[Byte] = Seq(v, v >> 8).map(x => (x & 0xff).toByte)
+    val pixels = Seq[Int](
+      10, 20, 30, 40, 50, 60, 0, 0,    // row 1: (B10 G20 R30)(B40 G50 R60) pad
+      70, 80, 90, 100, 110, 120, 0, 0  // row 2: (B70 G80 R90)(B100 G110 R120) pad
+    ).map(_.toByte)
+    val header: Seq[Byte] =
+      Seq('B'.toByte, 'M'.toByte) ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val bmp = (header ++ pixels).toArray
+    assert(bmp.length == 70)
+    val df = spark.createDataFrame(Seq((1L, bmp))).toDF("doc_id", "payload")
+    val f = Multimodal.extractFeatures(df).select("features")
+      .head().getSeq[Double](0)
+    // means: R (30+60+90+120)/4, G (20+50+80+110)/4, B (10+40+70+100)/4 —
+    // pad bytes excluded by the stride math.
+    assert(math.abs(f(0) - 75.0) < 1e-9 && math.abs(f(1) - 65.0) < 1e-9 &&
+      math.abs(f(2) - 55.0) < 1e-9)
+    // luminances 21.85 / 51.85 / 81.85 / 111.85 → bins 0,1,2,3 (width 32)
+    assert(f.drop(3) == Seq(0.25, 0.25, 0.25, 0.25, 0.0, 0.0, 0.0, 0.0))
+    // non-BMP payload → null features (quarantine semantics)
+    val junk = spark.createDataFrame(Seq((2L, Array[Byte](1, 2, 3))))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.extractFeatures(junk).select("features").head().isNullAt(0))
   }
 }

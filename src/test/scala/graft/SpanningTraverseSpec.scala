@@ -41,6 +41,32 @@ class SpanningTraverseSpec extends SparkSpec {
     assert(order(Traversal.traverse(g, 0L, dfs = true)) == Seq(0L, 1L))
   }
 
+  test("BFS hop aggregator + exit predicate (TraverseTest.testBfsMaxDepthOut)") {
+    // reference form: (s,t,w) -> w >= maxHops ? CONTINUE : FOLLOW with
+    // aggregator (s,t,w) -> w + 1
+    val r = order(Traversal.traverse(traverseGraph, 0L, dfs = false,
+      exitPredicate = Some((_, _, w) =>
+        if (w >= 3.0) Traversal.Exit.Continue else Traversal.Exit.Follow),
+      aggregator = (_, _, w, _) => w + 1.0))
+    assert(r == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("BFS cost-budget aggregator carries stored edge weights") {
+    // TraverseTest weighted fixture: a-b 2, a-c 1, b-d 1, c-d 2, d-e 1,
+    // d-f 2, e-g 2, f-g 1; budget 3.0 reaches exactly a,b,c,d with path
+    // costs 0/2/1/3 (d first reached through b).
+    val g = graphOf(7,
+      Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 6L), (5L, 6L)),
+      Map((0L, 1L) -> 2.0, (0L, 2L) -> 1.0, (1L, 3L) -> 1.0, (2L, 3L) -> 2.0,
+        (3L, 4L) -> 1.0, (3L, 5L) -> 2.0, (4L, 6L) -> 2.0, (5L, 6L) -> 1.0))
+    val rows = Traversal.traverse(g, 0L, dfs = false,
+      exitPredicate = Some((_, _, w) =>
+        if (w > 3.0) Traversal.Exit.Continue else Traversal.Exit.Follow),
+      aggregator = (_, _, w, ew) => w + ew)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows == Map(0L -> 0.0, 1L -> 2.0, 2L -> 1.0, 3L -> 3.0))
+  }
+
   // PrimTest fixture: a=0,b=1,c=2,d=3,e=4 (+isolated y=5,z=6)
   private def primGraph = graphOf(7,
     Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)),
