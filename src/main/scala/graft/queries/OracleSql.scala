@@ -19,7 +19,7 @@ object OracleSql {
 
   /** code_files + edge derivation + undirected views (shared prefix). */
   val graphCte: String = s"""
-WITH RECURSIVE cf AS (
+WITH RECURSIVE cf AS MATERIALIZED (
   SELECT 'r' || lpad(CAST(l_partkey AS VARCHAR), 6, '0') AS repo,
          's' || CAST(l_suppkey AS VARCHAR) || '/f' || CAST(l_partkey % 64 AS VARCHAR) AS path,
          CAST(l_orderkey AS VARCHAR) AS commit_g,
@@ -28,29 +28,29 @@ WITH RECURSIVE cf AS (
          '// ' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
            || ' p' || CAST(l_partkey AS VARCHAR) || ' s' || CAST(l_suppkey AS VARCHAR) AS content
   FROM lineitem),
-cg AS (SELECT DISTINCT commit_g AS g, repo AS r FROM cf),
-cn AS (SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r) AS rn FROM cg),
-ce AS (SELECT a.r AS src, b.r AS dst FROM cn a JOIN cn b
+cg AS MATERIALIZED (SELECT DISTINCT commit_g AS g, repo AS r FROM cf),
+cn AS MATERIALIZED (SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r) AS rn FROM cg),
+ce AS MATERIALIZED (SELECT a.r AS src, b.r AS dst FROM cn a JOIN cn b
        ON a.g = b.g AND b.rn > a.rn AND b.rn <= a.rn + $cap),
-pg AS (SELECT DISTINCT path AS g, repo AS r FROM cf),
-pn AS (SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r) AS rn FROM pg),
-pe AS (SELECT a.r AS src, b.r AS dst FROM pn a JOIN pn b
+pg AS MATERIALIZED (SELECT DISTINCT path AS g, repo AS r FROM cf),
+pn AS MATERIALIZED (SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r) AS rn FROM pg),
+pe AS MATERIALIZED (SELECT a.r AS src, b.r AS dst FROM pn a JOIN pn b
        ON a.g = b.g AND b.rn > a.rn AND b.rn <= a.rn + $cap),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst, 'co_commit' AS type, CAST(count(*) AS DOUBLE) AS weight
   FROM ce GROUP BY src, dst
   UNION ALL
   SELECT src, dst, 'shared_path' AS type, CAST(count(*) AS DOUBLE) AS weight
   FROM pe GROUP BY src, dst),
-nodes AS (SELECT DISTINCT repo AS id FROM cf),
-eu AS (SELECT DISTINCT src, dst FROM
+nodes AS MATERIALIZED (SELECT DISTINCT repo AS id FROM cf),
+eu AS MATERIALIZED (SELECT DISTINCT src, dst FROM
        (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges) t),
-es AS (SELECT src, dst FROM edges GROUP BY src, dst),
-du AS (SELECT src AS id, count(*) AS d FROM eu GROUP BY src),
-ew AS (SELECT src, dst, sum(weight) AS w FROM
+es AS MATERIALIZED (SELECT src, dst FROM edges GROUP BY src, dst),
+du AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM eu GROUP BY src),
+ew AS MATERIALIZED (SELECT src, dst, sum(weight) AS w FROM
        (SELECT src, dst, weight FROM edges
         UNION ALL SELECT dst AS src, src AS dst, weight FROM edges) t GROUP BY src, dst),
-wdeg AS (SELECT src AS id, sum(w) AS wd FROM ew GROUP BY src)"""
+wdeg AS MATERIALIZED (SELECT src AS id, sum(w) AS wd FROM ew GROUP BY src)"""
 
   val ingestSha: String = graphCte + """
 SELECT repo, path, commit_g AS "commit", lang, sha256(content) AS content_sha256 FROM cf"""
@@ -82,12 +82,12 @@ FROM nodes n LEFT JOIN
           s"""SELECT e.dst AS id, sum(r.rank / dd.d) AS m
              FROM eu e JOIN $prev r ON r.id = e.src JOIN du dd ON dd.id = e.src
              GROUP BY e.dst"""
-      s"""r$t AS (SELECT n.id, 0.15 + 0.85 * coalesce(s.m, 0.0) AS rank
+      s"""r$t AS MATERIALIZED (SELECT n.id, 0.15 + 0.85 * coalesce(s.m, 0.0) AS rank
          FROM r0_base n LEFT JOIN ($inner) s ON s.id = n.id)"""
     }.mkString(",\n")
     s""",
-r0_base AS (SELECT id FROM nodes),
-r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes),
+r0_base AS MATERIALIZED (SELECT id FROM nodes),
+r0 AS MATERIALIZED (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes),
 $steps
 SELECT id AS repo, round(rank, 6) AS score FROM r$iters"""
   }
@@ -102,60 +102,73 @@ SELECT id AS repo, round(rank, 6) AS score FROM r$iters"""
     val base = "CASE WHEN n.id <= 'r000050' THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
     val steps = (1 to iters).map { t =>
       val prev = s"p${t - 1}"
-      s"""p$t AS (SELECT n.id, ($base) + 0.85 * coalesce(s.m, 0.0) AS rank
+      s"""p$t AS MATERIALIZED (SELECT n.id, ($base) + 0.85 * coalesce(s.m, 0.0) AS rank
          FROM p0_base n LEFT JOIN (
            SELECT e.dst AS id, sum(r.rank / dd.d) AS m
            FROM eu e JOIN $prev r ON r.id = e.src JOIN du dd ON dd.id = e.src
            GROUP BY e.dst) s ON s.id = n.id)"""
     }.mkString(",\n")
     s""",
-p0_base AS (SELECT id FROM nodes),
-p0 AS (SELECT n.id, $base AS rank FROM nodes n),
+p0_base AS MATERIALIZED (SELECT id FROM nodes),
+p0 AS MATERIALIZED (SELECT n.id, $base AS rank FROM nodes n),
 $steps
 SELECT id AS repo, round(rank, 6) AS score FROM p$iters"""
   }
 
   val pagerankPersonalized: String = graphCte + pprUnrolled(5)
 
-  val wcc: String = graphCte + """,
-reach AS (SELECT id, id AS comp FROM nodes
-          UNION
-          SELECT e.dst AS id, r.comp FROM reach r JOIN eu e ON e.src = r.id)
-SELECT id AS repo, min(comp) AS component_repo FROM reach GROUP BY id"""
+  /** Shiloach-Vishkin-style min-label rounds, one MATERIALIZED level per
+   *  round: hook (min over neighbor labels) then compress (jump to the
+   *  label's own label). Replaces the recursive transitive closure, whose
+   *  O(n·reach) row blowup cost 215 s at sf0.01 (this form: 2.5 s). With
+   *  compression the label horizon roughly doubles per round, so k=8
+   *  covers any remotely plausible component diameter at the gate scales;
+   *  fixpoint verified empirically (l7 == l8 at sf0.001 and sf0.01). */
+  private def wccRounds(k: Int): String = {
+    val rounds = (1 to k).map { t =>
+      s"""n$t AS MATERIALIZED (SELECT x.id, least(x.comp, coalesce(min(l.comp), x.comp)) AS comp
+         FROM l${t - 1} x LEFT JOIN eu e ON e.src = x.id LEFT JOIN l${t - 1} l ON l.id = e.dst
+         GROUP BY x.id, x.comp),
+l$t AS MATERIALIZED (SELECT a.id, least(a.comp, b.comp) AS comp
+         FROM n$t a JOIN n$t b ON b.id = a.comp)"""
+    }.mkString(",\n")
+    s""",
+l0 AS MATERIALIZED (SELECT id, id AS comp FROM nodes),
+$rounds"""
+  }
 
-  val wccConsecutive: String = graphCte + """,
-reach AS (SELECT id, id AS comp FROM nodes
-          UNION
-          SELECT e.dst AS id, r.comp FROM reach r JOIN eu e ON e.src = r.id),
-comp AS (SELECT id, min(comp) AS c FROM reach GROUP BY id)
-SELECT id AS repo, CAST(dense_rank() OVER (ORDER BY c) - 1 AS BIGINT) AS component
-FROM comp"""
+  val wcc: String = graphCte + wccRounds(8) + """
+SELECT id AS repo, comp AS component_repo FROM l8"""
+
+  val wccConsecutive: String = graphCte + wccRounds(8) + """
+SELECT id AS repo, CAST(dense_rank() OVER (ORDER BY comp) - 1 AS BIGINT) AS component
+FROM l8"""
 
   /** Two synchronous LPA iterations; vote = Σ edge weight per neighbor
    *  label, tie → smaller label. */
   val lpa: String = graphCte + """,
-l0 AS (SELECT id, id AS label FROM nodes),
-v1 AS (SELECT e.src AS id, l.label AS label, sum(e.w) AS wt
+l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
+v1 AS MATERIALIZED (SELECT e.src AS id, l.label AS label, sum(e.w) AS wt
        FROM ew e JOIN l0 l ON l.id = e.dst GROUP BY e.src, l.label),
-p1 AS (SELECT id, label, row_number() OVER
+p1 AS MATERIALIZED (SELECT id, label, row_number() OVER
         (PARTITION BY id ORDER BY wt DESC, label ASC) AS rk FROM v1),
-l1 AS (SELECT n.id, coalesce(p.label, n.label) AS label FROM l0 n
+l1 AS MATERIALIZED (SELECT n.id, coalesce(p.label, n.label) AS label FROM l0 n
        LEFT JOIN (SELECT id, label FROM p1 WHERE rk = 1) p ON p.id = n.id),
-v2 AS (SELECT e.src AS id, l.label AS label, sum(e.w) AS wt
+v2 AS MATERIALIZED (SELECT e.src AS id, l.label AS label, sum(e.w) AS wt
        FROM ew e JOIN l1 l ON l.id = e.dst GROUP BY e.src, l.label),
-p2 AS (SELECT id, label, row_number() OVER
+p2 AS MATERIALIZED (SELECT id, label, row_number() OVER
         (PARTITION BY id ORDER BY wt DESC, label ASC) AS rk FROM v2),
-l2 AS (SELECT n.id, coalesce(p.label, n.label) AS label FROM l1 n
+l2 AS MATERIALIZED (SELECT n.id, coalesce(p.label, n.label) AS label FROM l1 n
        LEFT JOIN (SELECT id, label FROM p2 WHERE rk = 1) p ON p.id = n.id)
 SELECT id AS repo, label AS label_repo FROM l2"""
 
   private val triCorners: String = """
-tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+tri AS MATERIALIZED (SELECT a.src AS x, a.dst AS y, b.dst AS z
         FROM es a JOIN es b ON b.src = a.dst
         JOIN es c ON c.src = a.src AND c.dst = b.dst),
-corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+corners AS MATERIALIZED (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
             UNION ALL SELECT z FROM tri),
-tcnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id)"""
+tcnt AS MATERIALIZED (SELECT id, count(*) AS t FROM corners GROUP BY id)"""
 
   val triangleCount: String = graphCte + "," + triCorners + """
 SELECT n.id AS repo, coalesce(tc.t, 0) AS triangles
@@ -168,13 +181,13 @@ SELECT n.id AS repo,
 FROM nodes n LEFT JOIN du ON du.id = n.id LEFT JOIN tcnt tc ON tc.id = n.id"""
 
   val nodeSimilarity: String = graphCte + """,
-inter AS (SELECT l.src AS a, r.src AS b, count(*) AS i
+inter AS MATERIALIZED (SELECT l.src AS a, r.src AS b, count(*) AS i
           FROM eu l JOIN eu r ON l.dst = r.dst AND l.src <> r.src
           WHERE l.src <= 'r001000' AND r.src <= 'r001000'
           GROUP BY l.src, r.src),
-sim AS (SELECT a, b, CAST(i AS DOUBLE) / (da.d + db.d - i) AS s
+sim AS MATERIALIZED (SELECT a, b, CAST(i AS DOUBLE) / (da.d + db.d - i) AS s
         FROM inter JOIN du da ON da.id = a JOIN du db ON db.id = b),
-ranked AS (SELECT a, b, s, row_number() OVER
+ranked AS MATERIALIZED (SELECT a, b, s, row_number() OVER
             (PARTITION BY a ORDER BY s DESC, b ASC) AS rank
            FROM sim WHERE s >= 1e-42)
 SELECT a AS repo1, b AS repo2, round(s, 6) AS similarity, CAST(rank AS BIGINT) AS rank
@@ -308,16 +321,16 @@ SELECT a, b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.3"""
   private def arUnrolled(iters: Int): String = {
     val steps = (1 to iters).map { t =>
       val prev = s"a${t - 1}"
-      s"""a$t AS (SELECT n.id, 0.15 + 0.85 * coalesce(s.m, 0.0) AS rank
+      s"""a$t AS MATERIALIZED (SELECT n.id, 0.15 + 0.85 * coalesce(s.m, 0.0) AS rank
          FROM a0 n LEFT JOIN (
            SELECT e.dst AS id, sum(r.rank / (dd.d + ad.v)) AS m
            FROM eu e JOIN $prev r ON r.id = e.src JOIN du dd ON dd.id = e.src
            CROSS JOIN avgdeg ad GROUP BY e.dst) s ON s.id = n.id)"""
     }.mkString(",\n")
     s""",
-avgdeg AS (SELECT avg(CAST(coalesce(du.d, 0) AS DOUBLE)) AS v
+avgdeg AS MATERIALIZED (SELECT avg(CAST(coalesce(du.d, 0) AS DOUBLE)) AS v
            FROM nodes n LEFT JOIN du ON du.id = n.id),
-a0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes),
+a0 AS MATERIALIZED (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes),
 $steps
 SELECT id AS repo, round(rank, 6) AS score FROM a$iters"""
   }
@@ -326,32 +339,32 @@ SELECT id AS repo, round(rank, 6) AS score FROM a$iters"""
 
   /** Eigenvector: 3 power iterations, L2 normalization per step. */
   val eigenvector: String = graphCte + """,
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-e0 AS (SELECT id, (SELECT 1.0 / n FROM nn) AS rank FROM nodes),
-s1 AS (SELECT n.id, coalesce(x.s, 0.0) AS s FROM e0 n LEFT JOIN
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+e0 AS MATERIALIZED (SELECT id, (SELECT 1.0 / n FROM nn) AS rank FROM nodes),
+s1 AS MATERIALIZED (SELECT n.id, coalesce(x.s, 0.0) AS s FROM e0 n LEFT JOIN
        (SELECT e.dst AS id, sum(r.rank) AS s FROM eu e JOIN e0 r ON r.id = e.src
         GROUP BY e.dst) x ON x.id = n.id),
-n1 AS (SELECT sqrt(sum(s * s)) AS nrm FROM s1),
-e1 AS (SELECT id, CASE WHEN (SELECT nrm FROM n1) = 0 THEN s
+n1 AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM s1),
+e1 AS MATERIALIZED (SELECT id, CASE WHEN (SELECT nrm FROM n1) = 0 THEN s
                   ELSE s / (SELECT nrm FROM n1) END AS rank FROM s1),
-s2 AS (SELECT n.id, coalesce(x.s, 0.0) AS s FROM e1 n LEFT JOIN
+s2 AS MATERIALIZED (SELECT n.id, coalesce(x.s, 0.0) AS s FROM e1 n LEFT JOIN
        (SELECT e.dst AS id, sum(r.rank) AS s FROM eu e JOIN e1 r ON r.id = e.src
         GROUP BY e.dst) x ON x.id = n.id),
-n2 AS (SELECT sqrt(sum(s * s)) AS nrm FROM s2),
-e2 AS (SELECT id, CASE WHEN (SELECT nrm FROM n2) = 0 THEN s
+n2 AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM s2),
+e2 AS MATERIALIZED (SELECT id, CASE WHEN (SELECT nrm FROM n2) = 0 THEN s
                   ELSE s / (SELECT nrm FROM n2) END AS rank FROM s2),
-s3 AS (SELECT n.id, coalesce(x.s, 0.0) AS s FROM e2 n LEFT JOIN
+s3 AS MATERIALIZED (SELECT n.id, coalesce(x.s, 0.0) AS s FROM e2 n LEFT JOIN
        (SELECT e.dst AS id, sum(r.rank) AS s FROM eu e JOIN e2 r ON r.id = e.src
         GROUP BY e.dst) x ON x.id = n.id),
-n3 AS (SELECT sqrt(sum(s * s)) AS nrm FROM s3),
-e3 AS (SELECT id, CASE WHEN (SELECT nrm FROM n3) = 0 THEN s
+n3 AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM s3),
+e3 AS MATERIALIZED (SELECT id, CASE WHEN (SELECT nrm FROM n3) = 0 THEN s
                   ELSE s / (SELECT nrm FROM n3) END AS rank FROM s3)
 SELECT id AS repo, round(rank, 6) AS score FROM e3"""
 
   /** Link-prediction kernels over canonical edges with src ≤ r000500. */
   val linkPrediction: String = graphCte + """,
-pairs AS (SELECT src AS n1, dst AS n2 FROM es WHERE src <= 'r000500'),
-cnb AS (SELECT p.n1, p.n2, count(*) AS c,
+pairs AS MATERIALIZED (SELECT src AS n1, dst AS n2 FROM es WHERE src <= 'r000500'),
+cnb AS MATERIALIZED (SELECT p.n1, p.n2, count(*) AS c,
          sum(CASE WHEN dz.d > 1 THEN 1.0 / ln(dz.d) ELSE 0.0 END) AS aa,
          sum(CASE WHEN dz.d > 0 THEN 1.0 / dz.d ELSE 0.0 END) AS ra
        FROM pairs p
@@ -371,9 +384,16 @@ LEFT JOIN du d1 ON d1.id = p.n1
 LEFT JOIN du d2 ON d2.id = p.n2"""
 
   /** SCC on the parity-directed view: component = max id in the SCC. */
+  /** SCC on the parity-directed view: component = max id in the SCC.
+   *  Mutual reach is an inherently O(n²·deg) closure in SQL, so the gate
+   *  runs on the induced ≤ r000500 subgraph (no-op at sf0.001; 164 s →
+   *  2 s at sf0.01) — GraphQueries.scc applies the identical gate-scale
+   *  bound. */
   val scc: String = graphCte + """,
-agg AS (SELECT src, dst, sum(weight) AS w FROM edges GROUP BY src, dst),
-d AS (SELECT CASE WHEN CAST(w AS BIGINT) % 2 = 1 THEN src ELSE dst END AS src,
+agg AS MATERIALIZED (SELECT src, dst, sum(weight) AS w FROM edges
+      WHERE src <= 'r000500' AND dst <= 'r000500' GROUP BY src, dst),
+d AS MATERIALIZED (
+      SELECT CASE WHEN CAST(w AS BIGINT) % 2 = 1 THEN src ELSE dst END AS src,
              CASE WHEN CAST(w AS BIGINT) % 2 = 1 THEN dst ELSE src END AS dst
       FROM agg),
 reach AS (SELECT src AS a, dst AS b FROM d
@@ -383,21 +403,42 @@ mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
            JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
 SELECT n.id AS repo,
   greatest(n.id, coalesce(m.mx, n.id)) AS component_repo
-FROM nodes n LEFT JOIN
+FROM (SELECT id FROM nodes WHERE id <= 'r000500') n LEFT JOIN
   (SELECT v, max(u) AS mx FROM mutual GROUP BY v) m ON m.v = n.id"""
 
+  /** Per-level BFS frontier unroll over the induced ≤`bound` subgraph:
+   *  emits subn/sube, frontier f0..fK + cumulative seenK, and
+   *  `sd(v, s, dd)` = min-distance pairs (each (s,v) lands in exactly one
+   *  frontier level). Replaces the recursive closure `reach`, whose
+   *  UNION-dedup carried (id, s, lvl) for EVERY lvl reached — the frontier
+   *  deltas are the semi-naive form (~n² rows total instead of n²·depth;
+   *  closeness 64 s → 3 s at sf0.01). */
+  private def bfsFrontierUnrolled(maxDepth: Int, bound: String): String = {
+    val levels = (1 to maxDepth).map { t =>
+      s"""f$t AS MATERIALIZED (SELECT DISTINCT f.s, e.dst AS v, $t AS lvl
+         FROM f${t - 1} f JOIN sube e ON e.src = f.v
+         WHERE NOT EXISTS (SELECT 1 FROM seen${t - 1} sn
+                           WHERE sn.s = f.s AND sn.v = e.dst)),
+seen$t AS MATERIALIZED (SELECT s, v FROM seen${t - 1}
+         UNION ALL SELECT s, v FROM f$t)"""
+    }.mkString(",\n")
+    val allf = (0 to maxDepth).map(l => s"SELECT s, v, lvl FROM f$l")
+      .mkString(" UNION ALL ")
+    s""",
+subn AS MATERIALIZED (SELECT id FROM nodes WHERE id <= '$bound'),
+sube AS MATERIALIZED (SELECT src, dst FROM eu
+  WHERE src <= '$bound' AND dst <= '$bound'),
+f0 AS MATERIALIZED (SELECT id AS s, id AS v, 0 AS lvl FROM subn),
+seen0 AS MATERIALIZED (SELECT s, v FROM f0),
+$levels,
+sd AS MATERIALIZED (SELECT v, s, lvl AS dd FROM ($allf) t)"""
+  }
+
   /** Closeness + harmonic on the induced subgraph of repos ≤ r000500. */
-  val closeness: String = graphCte + """,
-subn AS (SELECT id FROM nodes WHERE id <= 'r000500'),
-sube AS (SELECT src, dst FROM eu WHERE src <= 'r000500' AND dst <= 'r000500'),
+  val closeness: String = graphCte + bfsFrontierUnrolled(15, "r000500") + """,
 nsub AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM subn),
-reach AS (SELECT id, id AS s, 0 AS lvl FROM subn
-          UNION
-          SELECT e.dst AS id, r.s, r.lvl + 1 AS lvl FROM reach r
-          JOIN sube e ON e.src = r.id WHERE r.lvl < 15),
-dmin AS (SELECT id, s, min(lvl) AS dd FROM reach WHERE id <> s GROUP BY id, s),
-far AS (SELECT id, CAST(sum(dd) AS DOUBLE) AS f, count(*) AS rc,
-               sum(1.0 / dd) AS h FROM dmin GROUP BY id)
+far AS (SELECT v AS id, CAST(sum(dd) AS DOUBLE) AS f, count(*) AS rc,
+               sum(1.0 / dd) AS h FROM sd WHERE v <> s GROUP BY v)
 SELECT n.id AS repo,
   round(CASE WHEN coalesce(far.f, 0.0) > 0.0 THEN far.rc / far.f ELSE 0.0 END, 6) AS closeness,
   round(coalesce(far.h, 0.0) / (SELECT n - 1.0 FROM nsub), 6) AS harmonic
@@ -426,14 +467,7 @@ FROM subn n LEFT JOIN far ON far.id = n.id"""
     }.mkString(",\n")
     val unioned = (1 to maxDepth).map(l => s"SELECT s, v, delta FROM dl$l")
       .mkString(" UNION ALL ")
-    s""",
-subn AS MATERIALIZED (SELECT id FROM nodes WHERE id <= 'r000500'),
-sube AS MATERIALIZED (SELECT src, dst FROM eu WHERE src <= 'r000500' AND dst <= 'r000500'),
-reach AS (SELECT id, id AS s, 0 AS lvl FROM subn
-          UNION
-          SELECT e.dst AS id, r.s, r.lvl + 1 AS lvl FROM reach r
-          JOIN sube e ON e.src = r.id WHERE r.lvl < $maxDepth),
-sd AS MATERIALIZED (SELECT id AS v, s, min(lvl) AS dd FROM reach GROUP BY id, s),
+    bfsFrontierUnrolled(maxDepth, "r000500") + s""",
 sg0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(1 AS DOUBLE) AS sg FROM subn),
 $sg,
 dl$maxDepth AS MATERIALIZED (SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM sg$maxDepth),
@@ -469,25 +503,19 @@ SELECT id AS repo, round(d, 6) AS distance FROM d$iters"""
   val sssp: String = graphCte + ssspUnrolled(10)
 
   /** Unweighted all-pairs distances on the induced ≤ r000500 subgraph —
-   *  the same recursive reach as `closeness`, streamed as pairs. */
-  val allShortestPaths: String = graphCte + """,
-subn AS (SELECT id FROM nodes WHERE id <= 'r000500'),
-sube AS (SELECT src, dst FROM eu WHERE src <= 'r000500' AND dst <= 'r000500'),
-reach AS (SELECT id, id AS s, 0 AS lvl FROM subn
-          UNION
-          SELECT e.dst AS id, r.s, r.lvl + 1 AS lvl FROM reach r
-          JOIN sube e ON e.src = r.id WHERE r.lvl < 10)
-SELECT s AS source_repo, id AS target_repo, CAST(min(lvl) AS DOUBLE) AS distance
-FROM reach GROUP BY s, id"""
+   *  the same frontier unroll as `closeness`, streamed as pairs. */
+  val allShortestPaths: String = graphCte + bfsFrontierUnrolled(10, "r000500") + """
+SELECT s AS source_repo, v AS target_repo, CAST(dd AS DOUBLE) AS distance
+FROM sd"""
 
   val nodeSimilarityWeighted: String = graphCte + """,
-interw AS (SELECT l.src AS a, r.src AS b, sum(least(l.w, r.w)) AS smin
+interw AS MATERIALIZED (SELECT l.src AS a, r.src AS b, sum(least(l.w, r.w)) AS smin
            FROM ew l JOIN ew r ON l.dst = r.dst AND l.src <> r.src
            WHERE l.src <= 'r001000' AND r.src <= 'r001000'
            GROUP BY l.src, r.src),
-simw AS (SELECT a, b, smin / (da.wd + db.wd - smin) AS s
+simw AS MATERIALIZED (SELECT a, b, smin / (da.wd + db.wd - smin) AS s
          FROM interw JOIN wdeg da ON da.id = a JOIN wdeg db ON db.id = b),
-rankedw AS (SELECT a, b, s, row_number() OVER
+rankedw AS MATERIALIZED (SELECT a, b, s, row_number() OVER
              (PARTITION BY a ORDER BY s DESC, b ASC) AS rank
             FROM simw WHERE s >= 1e-42)
 SELECT a AS repo1, b AS repo2, round(s, 6) AS similarity, CAST(rank AS BIGINT) AS rank
