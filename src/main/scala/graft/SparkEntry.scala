@@ -62,6 +62,10 @@ object SparkEntry {
     "stream_node_properties" -> (G.streamNodeProps _),
     "yens" -> (G.yens _),
     "hyperball" -> (G.hyperball _),
+    // property oracles (structural invariants checked end to end)
+    "k1coloring_check" -> (G.k1coloringCheck _),
+    "mst_check" -> (G.mstCheck _),
+    "knn_recall" -> (P.knnRecall _),
     // rows-only (non-portable hashing / approximate)
     "dedup_simhash" -> (P.dedupSimhash _),
     "dedup_ngram_pairs" -> (P.dedupNgramPairs _),
@@ -96,8 +100,8 @@ object SparkEntry {
     "pagerank_weighted", "lpa", "sssp", "scc", "closeness",
     "all_shortest_paths", "astar", "delta_stepping", "hyperball",
     // bounded-subgraph / quadratic-candidate operators
-    "node_similarity", "node_similarity_weighted", "mst", "dfs",
-    "random_walks", "yens",
+    "node_similarity", "node_similarity_weighted", "mst", "mst_check",
+    "knn_recall", "dfs", "random_walks", "yens",
     // most expensive tail
-    "betweenness", "fastrp", "louvain", "k1coloring")
+    "betweenness", "fastrp", "louvain", "k1coloring", "k1coloring_check")
 }

@@ -565,6 +565,46 @@ object GraphQueries {
       verts, "reachable", "harmonic", "closeness")
   }
 
+  /** Property oracle for k1coloring (the K1ColoringTest validity
+   *  invariant — K1Coloring.java:145-226 validation step: no edge joins
+   *  two equal colors): Spark computes the conflict count from its ACTUAL
+   *  coloring on the induced ≤ r001000 subgraph; the DuckDB oracle pins
+   *  (nodes = |subgraph|, conflict_edges = 0). Runs on the gate bound at
+   *  every scale — `k1coloring` itself stays the bench perf surface. */
+  def k1coloringCheck(spark: SparkSession, dir: String): DataFrame = {
+    val (g, _) = cachedSubgraph(spark, dir, "r001000", weighted = false)
+    val colors = K1Coloring.run(g)
+    val eu = g.oriented(Orientation.Undirected)
+      .select(col("src"), col("dst")).where(col("src") =!= col("dst")).distinct()
+    val conflicts = eu
+      .join(colors.select(col("id").as("src"), col("color").as("ca")), Seq("src"))
+      .join(colors.select(col("id").as("dst"), col("color").as("cb")), Seq("dst"))
+      .where(col("ca") === col("cb")).count()
+    import spark.implicits._
+    Seq((colors.count(), conflicts)).toDF("nodes", "conflict_edges")
+  }
+
+  /** Property oracle for mst (PrimTest/KSpanningTree structure): a minimum
+   *  spanning FOREST has exactly (component size − 1) edges per connected
+   *  component, with every tree edge inside its component. Spark derives
+   *  (component_repo, nodes, tree_edges) from its ACTUAL forest + WCC;
+   *  the oracle recomputes components in SQL and pins nodes − 1. */
+  def mstCheck(spark: SparkSession, dir: String): DataFrame = {
+    val (gs, verts) = simpleGraph(spark, dir)
+    val (gw, _) = graph(spark, dir)
+    val comp = Wcc.run(gs)
+    val tree = SpanningTree.minimumSpanningForest(gw)
+    val treeEdges = tree
+      .join(comp.select(col("id").as("src"), col("component")), Seq("src"))
+      .groupBy("component").agg(count(lit(1)).as("tree_edges"))
+    comp.groupBy("component").agg(count(lit(1)).as("nodes"))
+      .join(treeEdges, Seq("component"), "left_outer")
+      .join(verts.select(col("id").as("component"), col("repo").as("component_repo")),
+        Seq("component"))
+      .select(col("component_repo"), col("nodes"),
+        coalesce(col("tree_edges"), lit(0L)).as("tree_edges"))
+  }
+
   /** Catalog round-trip: create a named graph, MUTATE two computed node
    *  properties into it (degree, weighted out-degree), then STREAM them
    *  long-form — gds.graph.streamNodeProperties (B4/F3 surface). */

@@ -592,7 +592,31 @@ r AS (SELECT item1, item2, c, row_number() OVER
 SELECT item1, item2, round(c, 6) AS similarity, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 4"""
 
+  /** Property oracle (k1coloring_check): a proper coloring has ZERO
+   *  conflicting edges — the Spark side counts conflicts from its actual
+   *  coloring on the induced ≤ r001000 subgraph. */
+  val k1coloringCheck: String = graphCte + """
+SELECT CAST(count(*) AS BIGINT) AS nodes, CAST(0 AS BIGINT) AS conflict_edges
+FROM nodes WHERE id <= 'r001000'"""
+
+  /** Property oracle (mst_check): a minimum spanning forest has exactly
+   *  (component size − 1) edges inside every connected component; the
+   *  Spark side counts its actual forest's edges per WCC component. */
+  val mstCheck: String = graphCte + wccRounds(8) + """
+SELECT comp AS component_repo, CAST(count(*) AS BIGINT) AS nodes,
+       CAST(count(*) - 1 AS BIGINT) AS tree_edges
+FROM l8 GROUP BY comp"""
+
+  /** Property oracle (knn_recall): LSH recall@5 vs the exact brute-force
+   *  top-k must clear the 0.25 regression floor; Spark measures it. */
+  val knnRecall: String = """
+SELECT CAST(count(*) AS BIGINT) AS queries, true AS recall_ge_0_25
+FROM embeddings WHERE vec_id < 2000"""
+
   val all: Map[String, String] = Map(
+    "k1coloring_check" -> k1coloringCheck,
+    "mst_check" -> mstCheck,
+    "knn_recall" -> knnRecall,
     "astar" -> astar,
     "delta_stepping" -> deltaStepping,
     "one_hot" -> oneHot,

@@ -81,6 +81,29 @@ object PipelineQueries {
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(embs(spark, dir), k = 5, bands = 8, bitsPerBand = 6)
 
+  /** Property oracle for knn_lsh (reference ANN quality contract —
+   *  ApproxNearestNeighborsAlgorithm.java:59): recall@5 of the LSH top-k
+   *  against the exact brute-force top-k on the shared id range
+   *  (vec_id < 2000, the `ann_cosine` oracle surface). Spark computes the
+   *  ACTUAL recall at knn_lsh's own operating point (bands=8, bits=6);
+   *  the DuckDB oracle pins (queries = |range|, recall_ge_0_25 = true).
+   *  Measured: 0.37 at sf0.01, 0.47 at sf0.001 — the synthetic embeddings
+   *  are near-uniform, so hyperplane-LSH recall is modest by nature; the
+   *  0.25 floor is a regression guard (a broken banding/bucket join would
+   *  drop it to ~k/n ≈ 0.003), not a quality target. */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val vs = embs(spark, dir).where(col("vec_id") < 2000)
+    val exact = Similarity.bruteForceTopK(vs, k = 5).select(col("a"), col("b"))
+    val approx = Similarity.lshTopK(vs, k = 5, bands = 8, bitsPerBand = 6)
+      .select(col("a"), col("b"))
+    val hits = exact.join(approx, Seq("a", "b")).count()
+    val total = exact.count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    System.err.println(f"[knn_recall] recall@5 = $recall%.4f ($hits/$total)")
+    import spark.implicits._
+    Seq((vs.count(), recall >= 0.25)).toDF("queries", "recall_ge_0_25")
+  }
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Dedup.fingerprint(docs(spark, dir))
 
