@@ -32,28 +32,47 @@ object ScalingBench {
     val levels = sys.env.getOrElse("SPARK_SCALE_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq
 
-    val results = levels.map { cpus => cpus -> runLevel(sfDir, cpus) }
+    // Interleaved phases (e.g. SPARK_SCALE_LEVELS=8,32,8,32): a transient
+    // contention window can straddle at most ONE phase, and the summary
+    // reports PER-LEVEL MEDIANS so a single bad phase cannot fake (or
+    // mask) a scaling result — VERDICT r3 #10.
+    val results = levels.zipWithIndex.map { case (cpus, i) =>
+      (cpus, i) -> runLevel(sfDir, cpus)
+    }
 
-    results.foreach { case (cpus, (edgeCount, timings)) =>
+    results.foreach { case ((cpus, phase), (edgeCount, timings)) =>
       val qs = timings.map(t =>
         s""""${t.name}":{"sec":${f"${t.seconds}%.3f"},"supersteps":${t.supersteps},""" +
           s""""edgesPerSecPerSuperstep":${f"${t.edgesPerSecPerSuperstep}%.0f"}}""")
         .mkString("{", ",", "}")
-      println(s"""{"level":"local[$cpus]","edges":$edgeCount,"algos":$qs,"sf":"$sfDir"}""")
+      println(s"""{"level":"local[$cpus]","phase":$phase,"edges":$edgeCount,""" +
+        s""""algos":$qs,"sf":"$sfDir"}""")
     }
 
-    if (results.size == 2) {
-      val (c1, (_, t1)) = results.head
-      val (c2, (_, t2)) = results.last
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    val distinctLevels = levels.distinct.sorted
+    if (distinctLevels.size == 2) {
+      val (c1, c2) = (distinctLevels.head, distinctLevels.last)
       val factor = c2.toDouble / c1
-      val effs = t1.zip(t2).map { case (a, b) =>
-        val eff = a.seconds / (b.seconds * factor)
-        s""""${a.name}":${f"$eff%.3f"}"""
+      def algoSecs(c: Int, name: String): Seq[Double] = results.collect {
+        case ((`c`, _), (_, ts)) => ts.find(_.name == name).map(_.seconds)
+      }.flatten
+      val names = results.head._2._2.map(_.name)
+      val effs = names.map { name =>
+        val eff = median(algoSecs(c1, name)) / (median(algoSecs(c2, name)) * factor)
+        s""""$name":${f"$eff%.3f"}"""
       }
-      val total1 = t1.map(_.seconds).sum
-      val total2 = t2.map(_.seconds).sum
+      val total1 = median(results.collect { case ((`c1`, _), (_, ts)) => ts.map(_.seconds).sum })
+      val total2 = median(results.collect { case ((`c2`, _), (_, ts)) => ts.map(_.seconds).sum })
       val totalEff = total1 / (total2 * factor)
+      val phases = levels.groupBy(identity).map { case (k, v) => s"local[$k]×${v.size}" }
+        .toSeq.sorted.mkString("+")
       println(s"""{"scalingEfficiency":{"from":"local[$c1]","to":"local[$c2]",""" +
+        s""""phases":"$phases","medianOf":true,""" +
         s""""perAlgo":{${effs.mkString(",")}},"total":${f"$totalEff%.3f"}}}""")
     }
   }

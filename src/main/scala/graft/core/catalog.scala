@@ -283,6 +283,44 @@ object MemoryEstimation {
       "edge partition (undirected ×2)" -> r * 32))
   }
 
+  /** SCC (trim pre-pass + hash-priority forward/backward coloring):
+   *  vertex state + one frontier message set per round + a directed edge
+   *  copy (SccProc memoryEstimation — the reference keeps two HugeLong
+   *  arrays + a BitSet; ours is the frame equivalent). */
+  def scc(graph: PropertyGraph): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    build("scc", n, r, Seq(
+      "vertex state (id,color,component,flags)" -> n * (8 * 3 + 2),
+      "frontier messages ≤ 1/edge" -> r * 16,
+      "edge partition (directed)" -> r * 16))
+  }
+
+  /** BFS levels / SSSP / delta-stepping: distance state + scatter frame
+   *  bounded by one message per edge + the hash-partitioned edge copy
+   *  (weighted carries the 8-byte weight on edges and messages). */
+  def traversal(graph: PropertyGraph, weighted: Boolean = false): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    val rowW = if (weighted) 24L else 16L
+    build(if (weighted) "sssp/deltaStepping" else "bfsLevels", n, r, Seq(
+      "vertex state (id,dist,flags)" -> n * (8 * 2 + 2),
+      "frontier messages ≤ 1/edge" -> r * rowW,
+      "edge partition" -> r * rowW))
+  }
+
+  /** HyperBall: m = 2^logRegisters sparse register rows per node
+   *  (id,j,r) + delta-scattered messages (edges × CHANGED registers; the
+   *  steady-state bound is one register per edge per superstep) + the
+   *  per-node accumulators. */
+  def hyperBall(graph: PropertyGraph, logRegisters: Int = 6): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    val m = 1L << logRegisters
+    build(s"hyperBall (m=$m)", n, r, Seq(
+      "sparse registers (id,j,r)" -> n * m * 16,
+      "delta messages ≤ edges × changed regs" -> r * 16,
+      "accumulators (id,prevE,harmonic,sumDist)" -> n * 32,
+      "edge partition" -> r * 16))
+  }
+
   /** FastRP: exploded sparse (id, pos, value) embedding — n × dim rows per
    *  iteration frame + one edge copy per aggregation pass. */
   def fastRP(graph: PropertyGraph, embeddingSize: Int = 128,

@@ -169,6 +169,16 @@ class Round3Spec extends SparkSpec {
     check("fastrp", g => MemoryEstimation.fastRP(g))
     check("lpa", g => MemoryEstimation.labelPropagation(g))
     check("triangles", g => MemoryEstimation.triangleCount(g))
+    check("scc", g => MemoryEstimation.scc(g))
+    check("bfsLevels", g => MemoryEstimation.traversal(g))
+    check("sssp", g => MemoryEstimation.traversal(g, weighted = true))
+    check("hyperball", g => MemoryEstimation.hyperBall(g))
+    // weighted traversal carries the 8-byte weight on messages and edges
+    assert(MemoryEstimation.traversal(small, weighted = true).bytesMin >
+      MemoryEstimation.traversal(small).bytesMin)
+    // register memory doubles per logRegisters step
+    assert(MemoryEstimation.hyperBall(small, 7).bytesMin >
+      MemoryEstimation.hyperBall(small, 6).bytesMin)
     // louvain max covers multi-level contraction
     assert(MemoryEstimation.louvain(small, 10).bytesMax >
       MemoryEstimation.louvain(small, 10).bytesMin)
