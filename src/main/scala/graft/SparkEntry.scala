@@ -66,11 +66,13 @@ object SparkEntry {
     "k1coloring_check" -> (G.k1coloringCheck _),
     "mst_check" -> (G.mstCheck _),
     "knn_recall" -> (P.knnRecall _),
+    "ann_descent_recall" -> (P.annDescentRecall _),
     // rows-only (non-portable hashing / approximate)
     "dedup_simhash" -> (P.dedupSimhash _),
     "dedup_ngram_pairs" -> (P.dedupNgramPairs _),
     "dedup_lsh_pairs" -> (P.dedupLshPairs _),
     "knn_lsh" -> (P.knnLsh _),
+    "ann_nn_descent" -> (P.annNnDescent _),
     "doc_fingerprint" -> (P.fingerprint _),
     "multimodal_features" -> (P.multimodal _))
 
@@ -88,7 +90,7 @@ object SparkEntry {
     "multimodal_features",
     // pair-scale pipeline ops
     "knn_lsh", "similarity_proc", "dedup_lsh_pairs", "ann_cosine",
-    "dedup_ngram_pairs",
+    "ann_nn_descent", "ann_descent_recall", "dedup_ngram_pairs",
     // ingest + graph derivation (first of these pays the shared cache)
     "ingest_sha", "graph_edges", "graph_degree", "degree_centrality",
     "one_hot", "stream_node_properties",

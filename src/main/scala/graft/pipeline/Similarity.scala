@@ -233,4 +233,81 @@ object Similarity {
         .orderBy(col("cosine").desc, col("b").asc)))
       .where(col("rank") <= k)
   }
+
+  /**
+   * Reference-style ANN refinement — NN-descent (neighbor-of-neighbor
+   * iteration) over DataFrame top-K lists: the iterative half of
+   * `alpha/.../similarity/ApproxNearestNeighborsAlgorithm.java:124-197`.
+   * Per iteration every node offers its current neighbor list to each of
+   * those neighbors (the NoN expansion the reference builds via its
+   * relationship importers), the newly-scored pairs merge into the
+   * per-node top-K, and the loop stops when the number of top-K slots that
+   * CHANGED this iteration drops below `n·k·precision`
+   * (`shouldTerminate`, :296-298) or at `maxIterations`.
+   *
+   * Deliberate differences from the reference (substitutions, not gaps):
+   *  - init defaults to one cheap hyperplane-LSH pass instead of uniform
+   *    random lists — deterministic, one shuffle, and a strictly better
+   *    start; callers needing a custom seed graph pass `init`;
+   *  - the RoaringBitmap visited-set becomes an anti-join against pairs
+   *    already held in the lists (re-scoring a previously-dropped
+   *    candidate costs one dot product and cannot change results);
+   *  - the `p` neighbor-sampling draw is xxhash64(a, b, iter, seed) —
+   *    reproducible across partitionings and cluster sizes.
+   *
+   * Scale shape: each iteration shuffles O(n·k²·p²) candidate ID PAIRS
+   * (ids only — the vector payload joins back once per deduplicated
+   * candidate, exactly like `lshTopK`), so the quadratic blow-up of
+   * all-pairs never materializes and per-iteration cost is independent of
+   * the corpus' pairwise volume.
+   */
+  def nnDescentTopK(vectors: DataFrame, k: Int = 10, maxIterations: Int = 10,
+      precision: Double = 0.001, sampleRate: Double = 0.5, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      init: Option[DataFrame] = None): DataFrame = {
+    import graft.core.Lineage
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+    val nVec = v.count()
+    val threshold = math.max(1L, (nVec * k * precision).toLong)
+    val perMille = math.max(0L, math.min(1000L, (sampleRate * 1000).toLong))
+    var nn = Lineage.cut(
+      init.getOrElse(lshTopK(vectors, k, bands = 4, bitsPerBand = 8, seed, idCol, vecCol))
+        .select(col("a"), col("b"), col("cosine")))
+    var iter = 1
+    var changes = Long.MaxValue
+    while (iter <= maxIterations && changes >= threshold) {
+      // symmetric offer list, sampled per (node, neighbor, iter) draw
+      val offers = nn.select(col("a"), col("b"))
+        .union(nn.select(col("b").as("a"), col("a").as("b")))
+        .where(pmod(xxhash64(col("a"), col("b"), lit(iter), lit(seed)), lit(1000L))
+          < lit(perMille))
+      // NoN: a~x and x~c  ⇒  candidate (a, c); offers is symmetric so both
+      // directions of each adjacency are covered. Ids-only shuffle.
+      val cand = offers
+        .join(offers.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .select(col("a"), col("c").as("b"))
+        .where(col("a") =!= col("b"))
+        .dropDuplicates("a", "b")
+        .join(nn.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+      val scored = cand
+        .join(v.select(col("id").as("a"), col("v").as("va"), col("n").as("na")), Seq("a"))
+        .join(v.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      val next = Lineage.cut(
+        nn.union(scored)
+          .withColumn("rank", row_number().over(Window.partitionBy("a")
+            .orderBy(col("cosine").desc, col("b").asc)))
+          .where(col("rank") <= k)
+          .select(col("a"), col("b"), col("cosine")))
+      changes = next.join(nn.select(col("a"), col("b")), Seq("a", "b"), "left_anti").count()
+      System.err.println(s"[nn-descent] iter=$iter changes=$changes threshold=$threshold")
+      Lineage.release(nn)
+      nn = next
+      iter += 1
+    }
+    nn.withColumn("rank", row_number().over(Window.partitionBy("a")
+      .orderBy(col("cosine").desc, col("b").asc)))
+  }
 }

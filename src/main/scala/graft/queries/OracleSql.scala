@@ -613,10 +613,17 @@ FROM l8 GROUP BY comp"""
 SELECT CAST(count(*) AS BIGINT) AS queries, true AS recall_ge_0_25
 FROM embeddings WHERE vec_id < 2000"""
 
+  /** Property oracle (ann_descent_recall): NN-descent refinement must lift
+   *  recall@5 over the raw LSH init (0.35-0.47) to ≥0.80; Spark measures it. */
+  val annDescentRecall: String = """
+SELECT CAST(count(*) AS BIGINT) AS queries, true AS recall_ge_0_80
+FROM embeddings WHERE vec_id < 2000"""
+
   val all: Map[String, String] = Map(
     "k1coloring_check" -> k1coloringCheck,
     "mst_check" -> mstCheck,
     "knn_recall" -> knnRecall,
+    "ann_descent_recall" -> annDescentRecall,
     "astar" -> astar,
     "delta_stepping" -> deltaStepping,
     "one_hot" -> oneHot,

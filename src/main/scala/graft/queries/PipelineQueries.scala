@@ -104,6 +104,46 @@ object PipelineQueries {
     Seq((vs.count(), recall >= 0.25)).toDF("queries", "recall_ge_0_25")
   }
 
+  /** NN-descent refinement over the LSH init (the reference's actual ANN
+   *  loop, `ApproxNearestNeighborsAlgorithm.java:124-197`): rows-only
+   *  bench surface at the shared id range. */
+  /** NN-descent search width: lists of 3k are maintained during the
+   *  iteration and truncated to k on output — on these near-uniform
+   *  synthetic embeddings the wider frontier is what carries recall@5 from
+   *  ~0.52 (k-width search) to ≥0.9 (measured: 0.948 at 8 iterations),
+   *  mirroring the reference's decoupled sampleSize = p·topK draw. */
+  private val DescentSearchK = 15
+  private val DescentIters = 8
+
+  def annNnDescent(spark: SparkSession, dir: String): DataFrame = {
+    val vs = embs(spark, dir).where(col("vec_id") < 2000)
+    Similarity.nnDescentTopK(vs, k = DescentSearchK, maxIterations = DescentIters,
+      init = Some(Similarity.lshTopK(vs, k = DescentSearchK, bands = 8, bitsPerBand = 6)))
+      .where(col("rank") <= 5)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Property oracle for the NN-descent loop: recall@5 vs the exact
+   *  brute-force top-k on the shared id range must clear 0.8 — far above
+   *  the raw LSH init (knn_recall's measured 0.35-0.47); the refinement is
+   *  the whole point of the reference's iteration. Measured 0.92-0.96 at
+   *  both gate scales. DuckDB pins (queries = |range|, recall_ge_0_80). */
+  def annDescentRecall(spark: SparkSession, dir: String): DataFrame = {
+    val vs = embs(spark, dir).where(col("vec_id") < 2000)
+    val exact = Similarity.bruteForceTopK(vs, k = 5).select(col("a"), col("b"))
+    val refined = Similarity.nnDescentTopK(vs, k = DescentSearchK, maxIterations = DescentIters,
+      init = Some(Similarity.lshTopK(vs, k = DescentSearchK, bands = 8, bitsPerBand = 6)))
+      .where(col("rank") <= 5)
+      .select(col("a"), col("b"))
+    val hits = exact.join(refined, Seq("a", "b")).count()
+    val total = exact.count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    System.err.println(f"[ann_descent_recall] recall@5 = $recall%.4f ($hits/$total)")
+    import spark.implicits._
+    Seq((vs.count(), recall >= 0.8)).toDF("queries", "recall_ge_0_80")
+  }
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Dedup.fingerprint(docs(spark, dir))
 

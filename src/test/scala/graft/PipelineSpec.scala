@@ -92,6 +92,50 @@ class PipelineSpec extends SparkSpec {
     assert(agree >= approx.size / 2)
   }
 
+  test("NN-descent refinement recovers the exact kNN graph from a bad init " +
+      "(ApproxNearestNeighborsAlgorithm.java:124-197 iteration)") {
+    import spark.implicits._
+    // points along an arc with quadratic spacing: cosine similarity
+    // strictly decreases with index distance, so the kNN graph is
+    // id-local and the NoN landscape has a gradient to climb (the regime
+    // NN-descent targets; on plateaus it stalls like the reference does)
+    val n = 48
+    val rows = (0 until n).map { i =>
+      val theta = 1.2 * i * i / (n.toDouble * n)
+      (i.toLong, Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+    val vs = rows.toDF("vec_id", "embedding")
+    // adversarial init: hash-scattered partners (NOT an affine map — those
+    // compose into pure translations mod n and trap the NoN closure on a
+    // fixed coset, a measured stall; see the matching driver-side sim)
+    def mix(i: Int, j: Int): Int = {
+      var x = i * 2654435761L + j * 40503L
+      x ^= x >>> 16; x *= 2246822519L; x ^= x >>> 13
+      ((x % n + n) % n).toInt
+    }
+    val initPairs = (0 until n)
+      .flatMap(i => Seq(1, 2).map(j => (i.toLong, mix(i, j).toLong)))
+      .filter { case (a, b) => a != b }.distinct
+    val v = vs.select(col("vec_id").as("id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val init = initPairs.toDF("a", "b")
+      .join(v.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(v.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (Similarity.dot(col("va"), col("vb")) /
+          (Similarity.norm(col("va")) * Similarity.norm(col("vb")))).as("cosine"))
+    val refined = Similarity.nnDescentTopK(vs, k = 3, maxIterations = 10,
+      sampleRate = 1.0, init = Some(init))
+      .where(col("rank") === 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val exact = Similarity.bruteForceTopK(vs, k = 3).where(col("rank") === 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val initAgree = initPairs.count { case (a, b) => exact.get(a).contains(b) }
+    val agree = refined.count { case (a, b) => exact.get(a).contains(b) }
+    assert(agree >= 44, s"only $agree/$n exact top-1 recovered (init had $initAgree)")
+    assert(agree > initAgree + 20, s"refinement barely improved: $initAgree -> $agree")
+  }
+
   test("text quality: clean prose scores above junk") {
     val good = "The quick brown fox jumps over the lazy dog and it was a fine day for that in the park."
     val junk = "!!!??? ;;; ### 000 1111 ..... ,,,,,"
