@@ -67,6 +67,8 @@ object SparkEntry {
     "mst_check" -> (G.mstCheck _),
     "knn_recall" -> (P.knnRecall _),
     "ann_descent_recall" -> (P.annDescentRecall _),
+    "louvain_check" -> (G.louvainCheck _),
+    "yens_check" -> (G.yensCheck _),
     // rows-only (non-portable hashing / approximate)
     "dedup_simhash" -> (P.dedupSimhash _),
     "dedup_ngram_pairs" -> (P.dedupNgramPairs _),
@@ -103,7 +105,8 @@ object SparkEntry {
     "all_shortest_paths", "astar", "delta_stepping", "hyperball",
     // bounded-subgraph / quadratic-candidate operators
     "node_similarity", "node_similarity_weighted", "mst", "mst_check",
-    "knn_recall", "dfs", "random_walks", "yens",
+    "knn_recall", "dfs", "random_walks", "yens", "yens_check",
     // most expensive tail
-    "betweenness", "fastrp", "louvain", "k1coloring", "k1coloring_check")
+    "betweenness", "fastrp", "louvain", "louvain_check", "k1coloring",
+    "k1coloring_check")
 }

@@ -60,7 +60,9 @@ object GraphQueries {
     simpleCache.values.forEach(s => quiet { s.unpersist(): Unit })
     subCache.values.forEach { case (g, _) => quiet(g.unpersist()) }
     triCache.values.forEach(t => quiet { t.unpersist(): Unit })
+    algoCache.values.forEach(t => quiet { t.unpersist(): Unit })
     cache.clear(); simpleCache.clear(); subCache.clear(); triCache.clear()
+    algoCache.clear()
     CacheHygiene.protectedIds.clear()
   }
 
@@ -91,6 +93,27 @@ object GraphQueries {
         val t = TriangleCount.run(g).persist()
         t.count()
         t
+      }
+    })
+
+  /** Small-result memo shared by an algorithm query and its property-check
+   *  twin (k1coloring / louvain / NN-descent): the check re-validates the
+   *  SAME computation, so running the algorithm twice per gate is pure
+   *  waste (measured: 23 s k1coloring_check at sf0.01). Results are node-
+   *  or topK-sized frames — negligible storage, protected from the
+   *  per-query block sweep like the other lazily-built shared caches. */
+  private val algoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[queries] def cachedResult(spark: SparkSession, key: String)
+      (build: => DataFrame): DataFrame =
+    algoCache.computeIfAbsent(key, { _ =>
+      CacheHygiene.protecting(spark) {
+        val df = build
+        try { df.persist(): Unit }
+        catch { case _: IllegalArgumentException => () } // already persisted (cut frame)
+        df.count()
+        df
       }
     })
 
@@ -447,19 +470,37 @@ object GraphQueries {
 
   /** Louvain communities (rows-only driver check — modularity pipeline has
    *  no tractable SQL oracle). */
+  private def cachedLouvain(spark: SparkSession, dir: String,
+      bound: String): DataFrame =
+    cachedResult(spark, s"louvain|$dir|$bound") {
+      val (g, _) = cachedSubgraph(spark, dir, bound, weighted = false)
+      Louvain.run(g, Louvain.Config(maxLevels = 2, maxIterations = 3)).communities
+    }
+
   def louvain(spark: SparkSession, dir: String): DataFrame = {
-    val (g, verts) = inducedGraph(spark, dir)
-    val r = Louvain.run(g, Louvain.Config(maxLevels = 2, maxIterations = 3))
-    r.communities.join(verts, Seq("id"))
+    val (_, fverts) = graph(spark, dir)
+    val bound = communityBound(fverts)
+    val (_, verts) = cachedSubgraph(spark, dir, bound, weighted = false)
+    val comm = cachedLouvain(spark, dir, bound)
+    comm.join(verts, Seq("id"))
       .join(verts.select(col("id").as("community"), col("repo").as("community_repo")),
         Seq("community"))
       .select(col("repo"), col("community_repo"))
   }
 
   /** K1 coloring (rows-only; validity asserted in unit tests). */
+  private def cachedColoring(spark: SparkSession, dir: String,
+      bound: String): DataFrame =
+    cachedResult(spark, s"k1c|$dir|$bound") {
+      val (g, _) = cachedSubgraph(spark, dir, bound, weighted = false)
+      K1Coloring.run(g)
+    }
+
   def k1coloring(spark: SparkSession, dir: String): DataFrame = {
-    val (g, verts) = inducedGraph(spark, dir)
-    toRepo(K1Coloring.run(g), verts, "color")
+    val (_, verts) = graph(spark, dir)
+    val bound = communityBound(verts)
+    val (_, sverts) = cachedSubgraph(spark, dir, bound, weighted = false)
+    toRepo(cachedColoring(spark, dir, bound), sverts, "color")
   }
 
   /** FastRP embeddings (rows-only: hash-seeded random projections have no
@@ -573,7 +614,7 @@ object GraphQueries {
    *  every scale — `k1coloring` itself stays the bench perf surface. */
   def k1coloringCheck(spark: SparkSession, dir: String): DataFrame = {
     val (g, _) = cachedSubgraph(spark, dir, "r001000", weighted = false)
-    val colors = K1Coloring.run(g)
+    val colors = cachedColoring(spark, dir, "r001000")
     val eu = g.oriented(Orientation.Undirected)
       .select(col("src"), col("dst")).where(col("src") =!= col("dst")).distinct()
     val conflicts = eu
@@ -582,6 +623,60 @@ object GraphQueries {
       .where(col("ca") === col("cb")).count()
     import spark.implicits._
     Seq((colors.count(), conflicts)).toDF("nodes", "conflict_edges")
+  }
+
+  /** Property oracle for louvain (LouvainTest invariants): the returned
+   *  assignment must cover every subgraph node exactly once, and its
+   *  modularity must strictly beat the singleton partition it starts from
+   *  (Louvain.java hill-climb contract — each accepted move has positive
+   *  gain). Spark computes BOTH modularities from its actual assignment;
+   *  the DuckDB oracle pins (nodes = |subgraph|, full_cover = true,
+   *  beats_singletons = true). */
+  def louvainCheck(spark: SparkSession, dir: String): DataFrame = {
+    // fixed gate bound at every scale (like k1coloring_check) so the
+    // oracle's node count is scale-independent; `louvain` itself stays
+    // the bench perf surface on the dynamic bound. Both modularities are
+    // computed by the SAME helper over the same symmetric edge view, so
+    // the comparison is self-consistent by construction.
+    val (g, _) = cachedSubgraph(spark, dir, "r001000", weighted = false)
+    val comm = cachedLouvain(spark, dir, "r001000")
+    val ew = g.aggregated(Orientation.Undirected, Aggregation.Sum)
+    val m2 = ew.agg(sum("weight")).head().getDouble(0)
+    val nNodes = g.nodes.count()
+    val fullCover = comm.select(col("id")).distinct().count() == nNodes &&
+      comm.count() == nNodes
+    val singleton = g.nodes.select(col("id"), col("id").as("community"))
+    val qLouvain = ModularityOptimization.modularity(ew, comm, m2)
+    val qSingleton = ModularityOptimization.modularity(ew, singleton, m2)
+    System.err.println(
+      f"[louvain_check] q=$qLouvain%.6f singleton=$qSingleton%.6f")
+    import spark.implicits._
+    Seq((nNodes, fullCover, qLouvain > qSingleton))
+      .toDF("nodes", "full_cover", "beats_singletons")
+  }
+
+  /** Property oracle for yens (KShortestPathsTest invariants): the k
+   *  returned paths must be loopless, pairwise distinct, cost-ordered, and
+   *  the first must equal the Dijkstra shortest-path cost on the same
+   *  subgraph. Spark checks its ACTUAL paths; the oracle pins all four. */
+  def yensCheck(spark: SparkSession, dir: String): DataFrame = {
+    val (sg, verts) = weightedSubgraph(spark, dir, bound = "r000300")
+    val sub = verts.where(col("repo") <= "r000300")
+    val target = sub.agg(max("id")).head().getLong(0)
+    val paths = ShortestPaths.yens(sg, source = 0L, target = target, k = 3,
+      orientation = Orientation.Undirected)
+    val shortest = ShortestPaths.dijkstra(sg, 0L, target, Orientation.Undirected)
+    val firstIsShortest = (paths.headOption, shortest) match {
+      case (Some(p), Some(s)) => math.abs(p.cost - s.cost) < 1e-9
+      case (None, None)       => true
+      case _                  => false
+    }
+    val nondecreasing = paths.zip(paths.drop(1)).forall { case (a, b) => a.cost <= b.cost + 1e-9 }
+    val loopless = paths.forall(p => p.path.distinct.size == p.path.size)
+    val distinctPaths = paths.map(_.path).distinct.size == paths.size
+    import spark.implicits._
+    Seq((firstIsShortest, nondecreasing, loopless, distinctPaths))
+      .toDF("first_is_shortest", "costs_nondecreasing", "all_loopless", "paths_distinct")
   }
 
   /** Property oracle for mst (PrimTest/KSpanningTree structure): a minimum

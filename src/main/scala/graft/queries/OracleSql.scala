@@ -607,6 +607,21 @@ SELECT comp AS component_repo, CAST(count(*) AS BIGINT) AS nodes,
        CAST(count(*) - 1 AS BIGINT) AS tree_edges
 FROM l8 GROUP BY comp"""
 
+  /** Property oracle (louvain_check): the assignment covers every node of
+   *  the fixed ≤ r001000 subgraph exactly once, and its modularity beats
+   *  the singleton start partition; Spark measures both. */
+  val louvainCheck: String = graphCte + """
+SELECT CAST(count(*) AS BIGINT) AS nodes, true AS full_cover,
+       true AS beats_singletons
+FROM nodes WHERE id <= 'r001000'"""
+
+  /** Property oracle (yens_check): k loopless cost-ordered distinct paths,
+   *  first = Dijkstra optimum, on the ≤ r000300 subgraph; Spark checks its
+   *  actual paths, the oracle pins all four invariants. */
+  val yensCheck: String = """
+SELECT true AS first_is_shortest, true AS costs_nondecreasing,
+       true AS all_loopless, true AS paths_distinct"""
+
   /** Property oracle (knn_recall): LSH recall@5 vs the exact brute-force
    *  top-k must clear the 0.25 regression floor; Spark measures it. */
   val knnRecall: String = """
@@ -622,6 +637,8 @@ FROM embeddings WHERE vec_id < 2000"""
   val all: Map[String, String] = Map(
     "k1coloring_check" -> k1coloringCheck,
     "mst_check" -> mstCheck,
+    "louvain_check" -> louvainCheck,
+    "yens_check" -> yensCheck,
     "knn_recall" -> knnRecall,
     "ann_descent_recall" -> annDescentRecall,
     "astar" -> astar,

@@ -115,14 +115,21 @@ object PipelineQueries {
   private val DescentSearchK = 15
   private val DescentIters = 8
 
-  def annNnDescent(spark: SparkSession, dir: String): DataFrame = {
-    val vs = embs(spark, dir).where(col("vec_id") < 2000)
-    Similarity.nnDescentTopK(vs, k = DescentSearchK, maxIterations = DescentIters,
-      init = Some(Similarity.lshTopK(vs, k = DescentSearchK, bands = 8, bitsPerBand = 6)))
-      .where(col("rank") <= 5)
+  /** The refined lists are shared by ann_nn_descent and its recall check —
+   *  memoized like the other algorithm/check twins (GraphQueries). */
+  private def cachedDescent(spark: SparkSession, dir: String): DataFrame =
+    GraphQueries.cachedResult(spark, s"nnd|$dir") {
+      val vs = embs(spark, dir).where(col("vec_id") < 2000)
+      Similarity.nnDescentTopK(vs, k = DescentSearchK, maxIterations = DescentIters,
+        init = Some(Similarity.lshTopK(vs, k = DescentSearchK, bands = 8, bitsPerBand = 6)))
+        .where(col("rank") <= 5)
+        .select(col("a"), col("b"), col("cosine"), col("rank"))
+    }
+
+  def annNnDescent(spark: SparkSession, dir: String): DataFrame =
+    cachedDescent(spark, dir)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"),
         col("rank").cast("long").as("rank"))
-  }
 
   /** Property oracle for the NN-descent loop: recall@5 vs the exact
    *  brute-force top-k on the shared id range must clear 0.8 — far above
@@ -132,10 +139,7 @@ object PipelineQueries {
   def annDescentRecall(spark: SparkSession, dir: String): DataFrame = {
     val vs = embs(spark, dir).where(col("vec_id") < 2000)
     val exact = Similarity.bruteForceTopK(vs, k = 5).select(col("a"), col("b"))
-    val refined = Similarity.nnDescentTopK(vs, k = DescentSearchK, maxIterations = DescentIters,
-      init = Some(Similarity.lshTopK(vs, k = DescentSearchK, bands = 8, bitsPerBand = 6)))
-      .where(col("rank") <= 5)
-      .select(col("a"), col("b"))
+    val refined = cachedDescent(spark, dir).select(col("a"), col("b"))
     val hits = exact.join(refined, Seq("a", "b")).count()
     val total = exact.count()
     val recall = if (total == 0) 1.0 else hits.toDouble / total
