@@ -76,8 +76,19 @@ object Eigenvector {
     runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
+    val spark = graph.nodes.sparkSession
+    // Pregel's layout-reuse trick (pregel.scala:122-135): hash-partition
+    // the static edge relation by the join key ONCE via an eager
+    // localCheckpoint that KEEPS the partitioning — each power iteration's
+    // edges⋈ranks join then reuses the layout and only the node-sized rank
+    // frame shuffles. Without this every iteration re-sorted the full edge
+    // frame under a sort-merge join (measured 10 s/iter vs 2.4 s/iter for
+    // the Pregel-based PageRank on the same 5.8M-row frame).
     val edges = graph.aggregated(config.orientation, Aggregation.Sum)
-      .select(col("src"), col("dst")).cutLineage()
+      .select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val bigWork = edges.count() >= Lineage.aqeOffMinEdges(spark)
+    Lineage.withFastIteration(spark, bigWork) {
     val n = graph.nodes.count()
 
     var ranks = graph.nodes.select(col("id"), lit(1.0 / n).as("rank"))
@@ -109,5 +120,6 @@ object Eigenvector {
       iter += 1
     }
     ranks.select(col("id"), col("rank").as("score"))
+    }
   }
 }

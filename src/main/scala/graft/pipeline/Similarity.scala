@@ -24,8 +24,13 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Σ aᵢ·bᵢ over two double arrays (codegen'd higher-order expression). */
+  /** Codegen'd primitive loop (graft.functions.DotProduct) — the HOF
+   *  formulation `aggregate(zip_with(..))` evaluates interpreted and
+   *  allocates an intermediate array per pair: ~6 µs vs ~0.5 µs per
+   *  64-dim pair, the difference between 26 s and 4 s on the 4M-pair
+   *  brute-force query. Same null/length semantics. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
@@ -277,6 +282,7 @@ object Similarity {
     var iter = 1
     var changes = Long.MaxValue
     while (iter <= maxIterations && changes >= threshold) {
+      val itT0 = System.nanoTime()
       // symmetric offer list, sampled per (node, neighbor, iter) draw
       val offers = nn.select(col("a"), col("b"))
         .union(nn.select(col("b").as("a"), col("a").as("b")))
@@ -302,7 +308,8 @@ object Similarity {
           .where(col("rank") <= k)
           .select(col("a"), col("b"), col("cosine")))
       changes = next.join(nn.select(col("a"), col("b")), Seq("a", "b"), "left_anti").count()
-      System.err.println(s"[nn-descent] iter=$iter changes=$changes threshold=$threshold")
+      System.err.println(f"[nn-descent] iter=$iter changes=$changes " +
+        f"threshold=$threshold wall=${(System.nanoTime() - itT0) / 1e9}%.1fs")
       Lineage.release(nn)
       nn = next
       iter += 1

@@ -35,8 +35,18 @@ object PipelineQueries {
       .select(col("doc_id"), col("detected_lang"),
         col("marker_hits").cast("long").as("marker_hits"))
 
+  /** Exact brute-force top-5 on the shared id range — the value surface of
+   *  ann_cosine AND the ground truth both recall checks compare against.
+   *  Memoized like the other algorithm/check twins (GraphQueries
+   *  .cachedResult): the O(n²) pair scan is the expensive part of three
+   *  separate queries (measured 3×~25 s at sf0.1). */
+  private def cachedExactTopK(spark: SparkSession, dir: String): DataFrame =
+    GraphQueries.cachedResult(spark, s"annexact|$dir") {
+      Similarity.bruteForceTopK(embs(spark, dir).where(col("vec_id") < 2000), k = 5)
+    }
+
   def annCosine(spark: SparkSession, dir: String): DataFrame =
-    Similarity.bruteForceTopK(embs(spark, dir).where(col("vec_id") < 2000), k = 5)
+    cachedExactTopK(spark, dir)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"),
         col("rank").cast("long").as("rank"))
 
@@ -93,8 +103,11 @@ object PipelineQueries {
    *  drop it to ~k/n ≈ 0.003), not a quality target. */
   def knnRecall(spark: SparkSession, dir: String): DataFrame = {
     val vs = embs(spark, dir).where(col("vec_id") < 2000)
-    val exact = Similarity.bruteForceTopK(vs, k = 5).select(col("a"), col("b"))
-    val approx = Similarity.lshTopK(vs, k = 5, bands = 8, bitsPerBand = 6)
+    val exact = cachedExactTopK(spark, dir).select(col("a"), col("b"))
+    // top-5 of the memoized width-15 LSH list ≡ lshTopK(k=5): identical
+    // candidate set (same bands/bits/seed), identical (cosine desc, b asc)
+    // ranking — so rank ≤ 5 of the wider list IS the k=5 result.
+    val approx = cachedLshInit(spark, dir).where(col("rank") <= 5)
       .select(col("a"), col("b"))
     val hits = exact.join(approx, Seq("a", "b")).count()
     val total = exact.count()
@@ -115,13 +128,22 @@ object PipelineQueries {
   private val DescentSearchK = 15
   private val DescentIters = 8
 
+  /** Width-15 LSH lists on the shared id range — the NN-descent init AND
+   *  (rank ≤ 5) knn_recall's approximate side. Memoized: same operating
+   *  point, same candidate ranking. */
+  private def cachedLshInit(spark: SparkSession, dir: String): DataFrame =
+    GraphQueries.cachedResult(spark, s"annlsh|$dir") {
+      val vs = embs(spark, dir).where(col("vec_id") < 2000)
+      Similarity.lshTopK(vs, k = DescentSearchK, bands = 8, bitsPerBand = 6)
+    }
+
   /** The refined lists are shared by ann_nn_descent and its recall check —
    *  memoized like the other algorithm/check twins (GraphQueries). */
   private def cachedDescent(spark: SparkSession, dir: String): DataFrame =
     GraphQueries.cachedResult(spark, s"nnd|$dir") {
       val vs = embs(spark, dir).where(col("vec_id") < 2000)
       Similarity.nnDescentTopK(vs, k = DescentSearchK, maxIterations = DescentIters,
-        init = Some(Similarity.lshTopK(vs, k = DescentSearchK, bands = 8, bitsPerBand = 6)))
+        init = Some(cachedLshInit(spark, dir)))
         .where(col("rank") <= 5)
         .select(col("a"), col("b"), col("cosine"), col("rank"))
     }
@@ -138,7 +160,7 @@ object PipelineQueries {
    *  both gate scales. DuckDB pins (queries = |range|, recall_ge_0_80). */
   def annDescentRecall(spark: SparkSession, dir: String): DataFrame = {
     val vs = embs(spark, dir).where(col("vec_id") < 2000)
-    val exact = Similarity.bruteForceTopK(vs, k = 5).select(col("a"), col("b"))
+    val exact = cachedExactTopK(spark, dir).select(col("a"), col("b"))
     val refined = cachedDescent(spark, dir).select(col("a"), col("b"))
     val hits = exact.join(refined, Seq("a", "b")).count()
     val total = exact.count()

@@ -46,4 +46,13 @@ object GraftShims {
       }
     walk(df.asInstanceOf[CDataFrame].queryExecution.toRdd, 0)
   }
+
+  /** Wrap a raw Catalyst Expression as a user-facing Column (the Spark 4
+   *  Column API hides the expression constructor behind classic
+   *  ExpressionUtils). Used by graft.functions' codegen'd expressions. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
