@@ -65,6 +65,8 @@ object SparkEntry {
     // property oracles (structural invariants checked end to end)
     "k1coloring_check" -> (G.k1coloringCheck _),
     "mst_check" -> (G.mstCheck _),
+    "fastrp_check" -> (G.fastrpCheck _),
+    "random_walk_check" -> (G.randomWalkCheck _),
     "knn_recall" -> (P.knnRecall _),
     "ann_descent_recall" -> (P.annDescentRecall _),
     "louvain_check" -> (G.louvainCheck _),
@@ -105,8 +107,9 @@ object SparkEntry {
     "all_shortest_paths", "astar", "delta_stepping", "hyperball",
     // bounded-subgraph / quadratic-candidate operators
     "node_similarity", "node_similarity_weighted", "mst", "mst_check",
-    "knn_recall", "dfs", "random_walks", "yens", "yens_check",
+    "knn_recall", "dfs", "random_walks", "random_walk_check",
+    "yens", "yens_check",
     // most expensive tail
-    "betweenness", "fastrp", "louvain", "louvain_check", "k1coloring",
-    "k1coloring_check")
+    "betweenness", "fastrp", "fastrp_check", "louvain", "louvain_check",
+    "k1coloring", "k1coloring_check")
 }

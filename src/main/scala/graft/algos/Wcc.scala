@@ -81,8 +81,10 @@ object Wcc {
     (if (config.consecutiveIds) consecutive(comps) else comps, result)
   }
 
-  /** Dense ascending renumbering of component ids (consecutiveIds). */
-  private def consecutive(comps: DataFrame): DataFrame = {
+  /** Dense ascending renumbering of component ids (consecutiveIds).
+   *  Public so a memoized base run can be renumbered without recomputing
+   *  the propagation (GraphQueries twin-sharing). */
+  def consecutive(comps: DataFrame): DataFrame = {
     val mapping = Ids.assign(comps.select(col("component")), "component")
       .withColumnRenamed("id", "newComponent")
     // the mapping has one row per component — orders of magnitude smaller

@@ -622,6 +622,21 @@ FROM nodes WHERE id <= 'r001000'"""
 SELECT true AS first_is_shortest, true AS costs_nondecreasing,
        true AS all_loopless, true AS paths_distinct"""
 
+  /** Property oracle (fastrp_check): iteration-weight (0,1,1) combination
+   *  of per-iteration L2-normalized embeddings ⇒ every norm ≤ 2; dim 32;
+   *  one embedding per graph node. Spark measures its actual output. */
+  val fastrpCheck: String = graphCte + """
+SELECT CAST(count(*) AS BIGINT) AS nodes, true AS dim_32,
+       CAST(0 AS BIGINT) AS norm_violations
+FROM nodes"""
+
+  /** Property oracle (random_walk_check): walksPerNode = 1 ⇒ one walk per
+   *  graph node, and every hop must follow a real directed edge (Spark
+   *  anti-joins its actual hops against the Natural edge set). */
+  val randomWalkCheck: String = graphCte + """
+SELECT CAST(count(*) AS BIGINT) AS walks, CAST(0 AS BIGINT) AS bad_steps
+FROM nodes"""
+
   /** Property oracle (knn_recall): LSH recall@5 vs the exact brute-force
    *  top-k must clear the 0.25 regression floor; Spark measures it. */
   val knnRecall: String = """
@@ -637,6 +652,8 @@ FROM embeddings WHERE vec_id < 2000"""
   val all: Map[String, String] = Map(
     "k1coloring_check" -> k1coloringCheck,
     "mst_check" -> mstCheck,
+    "fastrp_check" -> fastrpCheck,
+    "random_walk_check" -> randomWalkCheck,
     "louvain_check" -> louvainCheck,
     "yens_check" -> yensCheck,
     "knn_recall" -> knnRecall,
