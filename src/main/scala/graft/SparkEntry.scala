@@ -67,6 +67,7 @@ object SparkEntry {
     "mst_check" -> (G.mstCheck _),
     "fastrp_check" -> (G.fastrpCheck _),
     "random_walk_check" -> (G.randomWalkCheck _),
+    "hyperball_check" -> (G.hyperballCheck _),
     "knn_recall" -> (P.knnRecall _),
     "ann_descent_recall" -> (P.annDescentRecall _),
     "louvain_check" -> (G.louvainCheck _),
@@ -105,6 +106,7 @@ object SparkEntry {
     // heavier full-graph / weighted algorithms
     "pagerank_weighted", "lpa", "sssp", "scc", "closeness",
     "all_shortest_paths", "astar", "delta_stepping", "hyperball",
+    "hyperball_check",
     // bounded-subgraph / quadratic-candidate operators
     "node_similarity", "node_similarity_weighted", "mst", "mst_check",
     "knn_recall", "dfs", "random_walks", "random_walk_check",

@@ -369,10 +369,18 @@ object GraphQueries {
   /** All-pairs shortest-path stream (unweighted MS-BFS form) on the
    *  induced ≤ r000500 subgraph — the output is |pairs| rows, so the
    *  subgraph bound is the scale lever (sources option at full scale). */
+  /** Exact MS-BFS distances on the ≤ r000500 subgraph — shared by
+   *  all_shortest_paths and hyperball_check (twins). */
+  private def cachedAsp(spark: SparkSession, dir: String): DataFrame =
+    cachedResult(spark, s"asp|$dir") {
+      val (sg, _) = cachedSubgraph(spark, dir, "r000500", weighted = false)
+      Traversal.allShortestPaths(sg,
+        orientation = Orientation.Undirected, maxIterations = 10)
+    }
+
   def allShortestPaths(spark: SparkSession, dir: String): DataFrame = {
-    val (sg, verts) = cachedSubgraph(spark, dir, "r000500", weighted = false)
-    val r = Traversal.allShortestPaths(sg,
-      orientation = Orientation.Undirected, maxIterations = 10)
+    val (_, verts) = cachedSubgraph(spark, dir, "r000500", weighted = false)
+    val r = cachedAsp(spark, dir)
     r.join(verts.select(col("id").as("source"), col("repo").as("source_repo")), Seq("source"))
       .join(verts.select(col("id").as("target"), col("repo").as("target_repo")), Seq("target"))
       .select(col("source_repo"), col("target_repo"), col("distance"))
@@ -695,6 +703,31 @@ object GraphQueries {
       round(col("harmonic"), 6).as("harmonic"),
       round(col("closeness"), 6).as("closeness")),
       verts, "reachable", "harmonic", "closeness")
+  }
+
+  /** Property oracle for hyperball (the Boldi-Vigna accuracy contract the
+   *  HyperBall unit tests pin at fixture scale): on the ≤ r000500 induced
+   *  subgraph the m=64 sketch's reachable-ball estimates must track the
+   *  EXACT MS-BFS ball sizes — mean relative error ≤ 0.25 (rsd is
+   *  ~1.04/√64 ≈ 13 %), max ≤ 1.0. A broken delta-scatter collapses every
+   *  ball to ~0 or ~n and fails both. Spark computes BOTH sides from its
+   *  actual output; the DuckDB oracle pins (nodes = |subgraph|,
+   *  mean_relerr_le_025, max_relerr_le_1). */
+  def hyperballCheck(spark: SparkSession, dir: String): DataFrame = {
+    val (sg, _) = cachedSubgraph(spark, dir, "r000500", weighted = false)
+    val est = HyperBall.run(sg).select(col("id"), col("reachable"))
+    val exact = cachedAsp(spark, dir)
+      .where(col("source") =!= col("target"))
+      .groupBy(col("source").as("id"))
+      .agg(count(lit(1)).cast("double").as("exact"))
+    val err = est.join(exact, Seq("id"), "left_outer")
+      .select((abs(col("reachable") - coalesce(col("exact"), lit(0.0)))
+        / greatest(coalesce(col("exact"), lit(0.0)), lit(1.0))).as("re"))
+    val agg = err.agg(count(lit(1)).as("n"),
+      avg("re").as("meanre"), max("re").as("maxre")).head()
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getDouble(1) <= 0.25, agg.getDouble(2) <= 1.0))
+      .toDF("nodes", "mean_relerr_le_025", "max_relerr_le_1")
   }
 
   /** Property oracle for k1coloring (the K1ColoringTest validity

@@ -622,6 +622,14 @@ FROM nodes WHERE id <= 'r001000'"""
 SELECT true AS first_is_shortest, true AS costs_nondecreasing,
        true AS all_loopless, true AS paths_distinct"""
 
+  /** Property oracle (hyperball_check): the m=64 sketch's reachable-ball
+   *  estimates track the exact MS-BFS ball sizes on the ≤ r000500
+   *  subgraph (mean rel-err ≤ 0.25, max ≤ 1.0); Spark measures both. */
+  val hyperballCheck: String = graphCte + """
+SELECT CAST(count(*) AS BIGINT) AS nodes, true AS mean_relerr_le_025,
+       true AS max_relerr_le_1
+FROM nodes WHERE id <= 'r000500'"""
+
   /** Property oracle (fastrp_check): iteration-weight (0,1,1) combination
    *  of per-iteration L2-normalized embeddings ⇒ every norm ≤ 2; dim 32;
    *  one embedding per graph node. Spark measures its actual output. */
@@ -654,6 +662,7 @@ FROM embeddings WHERE vec_id < 2000"""
     "mst_check" -> mstCheck,
     "fastrp_check" -> fastrpCheck,
     "random_walk_check" -> randomWalkCheck,
+    "hyperball_check" -> hyperballCheck,
     "louvain_check" -> louvainCheck,
     "yens_check" -> yensCheck,
     "knn_recall" -> knnRecall,
