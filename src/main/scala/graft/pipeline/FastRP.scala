@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.core._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
  *    optional L2 normalization (propagateEmbeddings, :131-170);
  *  - result: Σ_k iterationWeights(k) · e_k (updateEmbeddings, :193-198).
  *
- * Spark shape: embeddings live EXPLODED as (id, pos, v) rows, so the
- * neighbor aggregation is a plain (dst, pos) hash aggregate with map-side
- * partial combine — a 10^8-degree hub never materializes a per-group list
- * (an array-typed collect_list formulation would OOM on it). Zero entries
- * are filtered before the join (sparsity 3 → 2/3 of init rows drop).
+ * Spark shape: embeddings live as `dim` WIDE double columns (v0..v{dim-1}),
+ * so one propagation is a single edges⋈embeddings join followed by one
+ * hash aggregate with `dim` codegen'd `sum`s. Hub safety is the same as the
+ * previous exploded-(id,pos,v) formulation — the per-group aggregation
+ * state is fixed-width (dim doubles ≈ 512 B at dim 64), map-side partial
+ * combine bounds a 10^8-degree hub to one partial per partition — but the
+ * join now emits ONE row per edge instead of `dim` (≈64× fewer rows through
+ * the iteration hot path, measured 32.7 s → single-digit at sf0.1), and the
+ * L2 normalization becomes a row-local expression instead of an extra
+ * aggregate + join per iteration. An array-typed collect_list formulation
+ * would OOM on the hub; the wide-sum shape cannot.
  */
 object FastRP {
 
@@ -40,8 +46,8 @@ object FastRP {
     runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
-    val spark = graph.spark
     val dim = config.embeddingSize
+    val vcols = (0 until dim).map(j => s"v$j")
     val edges = graph.aggregated(config.orientation, Aggregation.Sum).cutLineage()
     val deg = graph.nodes.select(col("id"))
       .join(edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
@@ -49,61 +55,62 @@ object FastRP {
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
       .cutLineage()
 
-    val posTab = spark.range(dim).select(col("id").cast("int").as("pos"))
     val prob = 1.0 / (2.0 * config.sparsity)
     val entry = (
       when(col("deg") === 0L, 1.0)
         .otherwise(pow(col("deg").cast("double"), config.normalizationStrength))
         * math.sqrt(config.sparsity.toDouble) / math.sqrt(dim.toDouble))
-    val u01 = pmod(xxhash64(col("id"), col("pos"), lit(config.seed)),
-      lit(1000000L)).cast("double") / 1e6
+    // same per-(id, pos) draws as the reference-shaped exploded variant
+    def u01(j: Int): Column =
+      pmod(xxhash64(col("id"), lit(j), lit(config.seed)),
+        lit(1000000L)).cast("double") / 1e6
 
-    // flat sparse representation of the current iteration's embedding
-    var flat = deg.crossJoin(posTab)
-      .select(col("id"), col("pos"),
-        when(u01 < prob, entry)
-          .when(u01 < 2 * prob, -entry)
-          .otherwise(0.0).as("v"))
-      .where(col("v") =!= 0.0)
-      .cutLineage()
+    // current iteration's embedding: (id, v0..v{dim-1}); nodes whose row is
+    // absent are implicitly all-zero (they send nothing through the join)
+    var cur = deg.select(col("id") +: (0 until dim).map { j =>
+      when(u01(j) < prob, entry)
+        .when(u01(j) < 2 * prob, -entry)
+        .otherwise(0.0).as(s"v$j")
+    }: _*).cutLineage()
 
-    // accumulated Σ weight_k · e_k, also flat
-    var acc: DataFrame = null
+    // Σ weight_k · e_k accumulated as a union of weighted frames, folded by
+    // ONE aggregate at the end (weights has ≤3 nonzero entries).
+    var accParts = List.empty[DataFrame]
     for (w <- config.iterationWeights) {
       // propagate: mean of neighbor embeddings (degreeScale, :148-150)
-      val msgs = edges
-        .join(flat.select(col("id").as("src"), col("pos"), col("v")), Seq("src"))
-        .groupBy(col("dst").as("id"), col("pos"))
-        .agg(sum(col("v") * col("weight")).as("s"))
-      val averaged = msgs.join(deg, Seq("id"))
-        .select(col("id"), col("pos"),
-          (col("s") / greatest(col("deg").cast("double"), lit(1.0))).as("v"))
+      val sums = edges
+        .join(cur.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col(vcols.head) * col("weight")).as(vcols.head),
+          vcols.tail.map(c => sum(col(c) * col("weight")).as(c)): _*)
+      val averaged = sums.join(deg, Seq("id"))
+        .select(col("id") +: vcols.map(c =>
+          (col(c) / greatest(col("deg").cast("double"), lit(1.0))).as(c)): _*)
       val next =
         if (config.normalizeL2) {
-          val norms = averaged.groupBy("id").agg(sqrt(sum(col("v") * col("v"))).as("n"))
-          averaged.join(norms, Seq("id"))
-            .select(col("id"), col("pos"),
-              when(col("n") > 0.0, col("v") / col("n")).otherwise(0.0).as("v"))
+          // row-local norm — no extra shuffle
+          val n2 = vcols.map(c => col(c) * col(c)).reduce(_ + _)
+          averaged
+            .withColumn("_n", sqrt(n2))
+            .select(col("id") +: vcols.map(c =>
+              when(col("_n") > 0.0, col(c) / col("_n")).otherwise(0.0).as(c)): _*)
         } else averaged
-      flat = next.where(col("v") =!= 0.0).cutLineage()
-      if (w != 0.0) {
-        val weighted = flat.select(col("id"), col("pos"), (col("v") * w).as("v"))
-        acc =
-          if (acc == null) weighted.cutLineage()
-          else acc.unionByName(weighted)
-            .groupBy("id", "pos").agg(sum("v").as("v")).cutLineage()
-      }
+      cur = next.cutLineage()
+      if (w != 0.0)
+        accParts ::= cur.select(col("id") +: vcols.map(c => (col(c) * w).as(c)): _*)
     }
-    val accFinal =
-      if (acc == null) flat.limit(0)
-      else acc
 
-    // densify back to arrays: every node gets a dim-length vector.
-    val dense = graph.nodes.select(col("id")).crossJoin(posTab)
-      .join(accFinal, Seq("id", "pos"), "left_outer")
-      .select(col("id"), col("pos"), coalesce(col("v"), lit(0.0)).as("v"))
-    dense.groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        x => x("v")).as("embedding"))
+    val acc =
+      if (accParts.isEmpty) cur.limit(0)
+      else if (accParts.tail.isEmpty) accParts.head
+      else accParts.reduce(_ unionByName _)
+        .groupBy("id")
+        .agg(sum(vcols.head).as(vcols.head),
+          vcols.tail.map(c => sum(col(c)).as(c)): _*)
+
+    // every node gets a dim-length vector; absent rows are all-zero
+    graph.nodes.select(col("id")).join(acc, Seq("id"), "left_outer")
+      .select(col("id"),
+        array(vcols.map(c => coalesce(col(c), lit(0.0))): _*).as("embedding"))
   }
 }
