@@ -29,6 +29,22 @@ object ShortestPaths {
 
   final case class PathResult(path: Seq[Long], cost: Double)
 
+  /** Prepared relaxation context: the edge relation hash-partitioned by
+   *  the join key and checkpointed ONCE (every spur/iteration join reuses
+   *  the layout — filters on top of it preserve the partitioning), the
+   *  node id frame, and the AQE gate (measured the same way as Pregel:
+   *  re-planning latency dominates on big superstep frames). Yen's runs
+   *  O(k·pathLen) Dijkstras; without this each one re-shuffled and
+   *  re-checkpointed the full edge frame. */
+  private final case class Ctx(edges: DataFrame, nodes: DataFrame, bigWork: Boolean)
+
+  private def prepare(graph: PropertyGraph, orientation: Orientation): Ctx = {
+    val e = graph.aggregated(orientation, Aggregation.Min)
+      .repartition(col("src")).localCheckpoint(true)
+    val n = graph.nodes.select(col("id"))
+    Ctx(e, n, e.count() >= Lineage.aqeOffMinEdges(graph.spark))
+  }
+
   /** Distributed relaxation with predecessor tracking. Each iteration is
    *  ONE Spark action: the frontier count and the target's distance upper
    *  bound both ride the materializing checkpoint via observe(), the same
@@ -42,6 +58,27 @@ object ShortestPaths {
       target: Option[Long] = None,
       heuristic: Option[DataFrame] = None,
       maxIterations: Int = 100): DataFrame = {
+    val edgesPart = edges.repartition(col("src")).localCheckpoint(true)
+    val big = edgesPart.count() >= Lineage.aqeOffMinEdges(nodes.sparkSession)
+    relaxCore(Ctx(edgesPart, nodes, big), Set.empty, Set.empty,
+      source, target, heuristic, maxIterations)
+  }
+
+  /** Relaxation over a prepared context with spur exclusions applied as
+   *  partitioning-preserving filters (no re-shuffle, no re-checkpoint). */
+  private def relaxCore(ctx: Ctx,
+      excludedEdges: Set[(Long, Long)], excludedNodes: Set[Long],
+      source: Long, target: Option[Long], heuristic: Option[DataFrame],
+      maxIterations: Int): DataFrame = Lineage.withFastIteration(
+        ctx.nodes.sparkSession, ctx.bigWork) {
+    val eEdge = excludedEdges.foldLeft(ctx.edges) { case (f, (s, t)) =>
+      f.where(!(col("src") === s && col("dst") === t))
+    }
+    val edgesPart = if (excludedNodes.isEmpty) eEdge
+      else eEdge.where(!col("src").isin(excludedNodes.toSeq: _*) &&
+        !col("dst").isin(excludedNodes.toSeq: _*))
+    val nodes = if (excludedNodes.isEmpty) ctx.nodes
+      else ctx.nodes.where(!col("id").isin(excludedNodes.toSeq: _*))
     val h = heuristic.map(_.select(col("id"), col("h").cast("double").as("h")))
     val base = nodes.select(
       col("id"),
@@ -53,7 +90,6 @@ object ShortestPaths {
         .withColumn("h", coalesce(col("h"), lit(0.0)))
       case None => base.withColumn("h", lit(0.0))
     }).cutLineage()
-    val edgesPart = edges.repartition(col("src")).localCheckpoint(true)
 
     var iter = 0
     var active = 1L
@@ -134,14 +170,20 @@ object ShortestPaths {
     Some(PathResult(path, cost))
   }
 
-  /** Plain weighted Dijkstra path source→target. */
+  /** Plain weighted Dijkstra path source→target. Passes `target` into the
+   *  relaxation so the A* upper-bound cutoff (h = 0) applies: once the
+   *  target has a finite distance, nodes at ≥ that bound stop scattering —
+   *  identical distances for every node that can matter to the path
+   *  (anything pruned was already ≥ the final target distance), fewer
+   *  frontier iterations. */
   def dijkstra(graph: PropertyGraph, source: Long, target: Long,
       orientation: Orientation = Orientation.Natural,
       maxIterations: Int = 100): Option[PathResult] = {
-    val e = graph.aggregated(orientation, Aggregation.Min)
-    val r = relax(e, graph.nodes.select(col("id")), source,
-      maxIterations = maxIterations).cutLineage()
-    reconstruct(r, source, target)
+    val r = relaxCore(prepare(graph, orientation), Set.empty, Set.empty,
+      source, Some(target), None, maxIterations).cutLineage()
+    val res = reconstruct(r, source, target)
+    Lineage.release(r)
+    res
   }
 
   /** A* with a per-node admissible heuristic (id, h) — same result as
@@ -161,18 +203,18 @@ object ShortestPaths {
   def filteredDijkstra(graph: PropertyGraph, source: Long, target: Long,
       excludedEdges: Set[(Long, Long)], excludedNodes: Set[Long],
       orientation: Orientation = Orientation.Natural,
-      maxIterations: Int = 100): Option[PathResult] = {
-    val e0 = graph.aggregated(orientation, Aggregation.Min)
-    val eEdge = excludedEdges.foldLeft(e0) { case (f, (s, t)) =>
-      f.where(!(col("src") === s && col("dst") === t))
-    }
-    val e = if (excludedNodes.isEmpty) eEdge
-      else eEdge.where(!col("src").isin(excludedNodes.toSeq: _*) &&
-        !col("dst").isin(excludedNodes.toSeq: _*))
-    val nodes = if (excludedNodes.isEmpty) graph.nodes.select(col("id"))
-      else graph.nodes.select(col("id")).where(!col("id").isin(excludedNodes.toSeq: _*))
-    val r = relax(e, nodes, source, maxIterations = maxIterations).cutLineage()
-    reconstruct(r, source, target)
+      maxIterations: Int = 100): Option[PathResult] =
+    spurDijkstra(prepare(graph, orientation), source, target,
+      excludedEdges, excludedNodes, maxIterations)
+
+  private def spurDijkstra(ctx: Ctx, source: Long, target: Long,
+      excludedEdges: Set[(Long, Long)], excludedNodes: Set[Long],
+      maxIterations: Int): Option[PathResult] = {
+    val r = relaxCore(ctx, excludedEdges, excludedNodes,
+      source, Some(target), None, maxIterations).cutLineage()
+    val res = reconstruct(r, source, target)
+    Lineage.release(r)
+    res
   }
 
   /**
@@ -185,24 +227,31 @@ object ShortestPaths {
   def yens(graph: PropertyGraph, source: Long, target: Long, k: Int,
       orientation: Orientation = Orientation.Natural,
       maxIterations: Int = 100): Seq[PathResult] = {
-    val first = dijkstra(graph, source, target, orientation, maxIterations)
-      .getOrElse(return Seq.empty)
+    // ONE prepared edge layout + AQE gate for the whole spur tree — each of
+    // the O(k·pathLen) inner Dijkstras previously re-shuffled and
+    // re-checkpointed the full edge frame.
+    val ctx = prepare(graph, orientation)
+    val first = spurDijkstra(ctx, source, target, Set.empty, Set.empty,
+      maxIterations).getOrElse { Lineage.release(ctx.edges); return Seq.empty }
     val accepted = scala.collection.mutable.ArrayBuffer(first)
     // candidate pool keyed by path to dedup
     val candidates = scala.collection.mutable.Map[Seq[Long], Double]()
 
     while (accepted.size < k) {
       val prev = accepted.last.path
+      // cost of every root prefix of `prev` in ONE tiny job (was one
+      // distributed lookup per spur index)
+      val prefixCost = prefixCosts(ctx, prev)
       for (i <- 0 until prev.length - 1) {
         val spurNode = prev(i)
         val rootPath = prev.take(i + 1)
-        val rootCost = pathCost(graph, rootPath, orientation)
+        val rootCost = prefixCost(i)
         val removedEdges = accepted.map(_.path)
           .filter(p => p.length > i && p.take(i + 1) == rootPath)
           .map(p => (p(i), p(i + 1))).toSet
         val removedNodes = rootPath.dropRight(1).toSet
-        filteredDijkstra(graph, spurNode, target, removedEdges, removedNodes,
-          orientation, maxIterations).foreach { spur =>
+        spurDijkstra(ctx, spurNode, target, removedEdges, removedNodes,
+          maxIterations).foreach { spur =>
           val total = rootPath.dropRight(1) ++ spur.path
           if (!accepted.exists(_.path == total))
             candidates.get(total) match {
@@ -211,27 +260,30 @@ object ShortestPaths {
             }
         }
       }
-      if (candidates.isEmpty) return accepted.toSeq
+      if (candidates.isEmpty) { Lineage.release(ctx.edges); return accepted.toSeq }
       val best = candidates.toSeq
         .minBy { case (p, c) => (c, p.map(_.toString).mkString(",")) }(
           Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
       candidates.remove(best._1)
       accepted += PathResult(best._1, best._2)
     }
+    Lineage.release(ctx.edges)
     accepted.toSeq
   }
 
-  /** Σ min-weight of consecutive pairs (driver-side; paths are short). */
-  private def pathCost(graph: PropertyGraph, path: Seq[Long],
-      orientation: Orientation): Double = {
-    if (path.length < 2) return 0.0
+  /** prefix(i) = Σ min-weight of the first i consecutive pairs of `path`
+   *  — all prefixes from one collect (paths are short). */
+  private def prefixCosts(ctx: Ctx, path: Seq[Long]): Array[Double] = {
+    val prefix = new Array[Double](math.max(path.length, 1))
+    if (path.length < 2) return prefix
     val pairs = path.sliding(2).map(p => (p(0), p(1))).toSeq
-    val e = graph.aggregated(orientation, Aggregation.Min)
     val cond = pairs.map { case (s, t) => col("src") === s && col("dst") === t }
       .reduce(_ || _)
-    val found = e.where(cond)
+    val found = ctx.edges.where(cond)
       .select(col("src"), col("dst"), col("weight")).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    pairs.map(found).sum
+    for (i <- 1 until path.length)
+      prefix(i) = prefix(i - 1) + found((path(i - 1), path(i)))
+    prefix
   }
 }
