@@ -94,7 +94,10 @@ object NodeSimilarity {
   def run(graph: PropertyGraph, config: Config = Config()): DataFrame = {
     // neighbor multiset under the chosen orientation: distinct pairs with
     // weight 1 (unweighted) or parallel edges summed (weighted).
-    val adj0 =
+    // checkpointed ONCE: the aggregated adjacency feeds deg, l and r —
+    // without the cut each consumer re-runs the full multigraph
+    // aggregation (3× the dominant scan on the weighted variant).
+    val adj0 = (
       if (config.weighted)
         graph.aggregated(config.orientation, Aggregation.Sum)
           .select(col("src"), col("dst"), col("weight").as("w"))
@@ -102,6 +105,7 @@ object NodeSimilarity {
         graph.oriented(config.orientation)
           .select(col("src"), col("dst")).distinct()
           .withColumn("w", lit(1.0))
+      ).cutLineage()
     val deg = adj0.groupBy("src")
       .agg(count(lit(1)).as("d"), sum("w").as("wd"))
       .where(col("d") >= config.degreeCutoff)
