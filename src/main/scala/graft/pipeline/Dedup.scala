@@ -127,22 +127,43 @@ object Dedup {
   }
 
   /**
-   * All-pairs n-gram Jaccard over an inverted-index candidate join: pairs
-   * sharing at least one shingle, verified exactly. Quadratic in the worst
-   * case — `maxPostings` bounds hot shingles (stop-shingle removal).
+   * All-pairs n-gram Jaccard with PREFIX FILTERING (the PPJoin family,
+   * Xiao et al. 2011): shingles are 64-bit-hashed and globally ordered
+   * rarest-first (document frequency asc, hash asc); each document indexes
+   * only its prefix of length |A| − ⌈t·|A|⌉ + 1. Any pair with J ≥ t
+   * shares its globally-smallest common shingle inside BOTH prefixes
+   * (if A∩B missed A's prefix, all ≥⌈t·|A|⌉ shared shingles would sit in
+   * A's last ⌈t·|A|⌉ − 1 positions — impossible), so joining prefix
+   * postings against prefix postings is EXACT while the quadratic
+   * candidate join runs only over rare shingles — hot boilerplate
+   * shingles sort last and fall out of the prefixes. Survivors are
+   * verified exactly on the full hashed-shingle arrays (integer
+   * intersection, not ~25-char string compares). `maxPostings` remains a
+   * worst-case hub cap on a single prefix-posting list (a corpus of
+   * near-identical docs is quadratic by NATURE); results are exact
+   * whenever no list exceeds it.
    * @return (a, b, jaccard) with a < b, jaccard >= threshold
    */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 3, threshold: Double = 0.5, maxPostings: Int = 100): DataFrame = {
-    val withSh = shingleFrame(docs, idCol, textCol, k)
-      .select(col(idCol).as("id"), col("sh"))
-      .where(size(col("sh")) > 0)
-    val posting = withSh.select(col("id"), explode(col("sh")).as("g"))
-    val hot = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      k: Int = 3, threshold: Double = 0.5, maxPostings: Int = 1000): DataFrame = {
+    // hashed shingle sets, used by the posting index and both verify
+    // joins — checkpointed so the tokenize+shingle scan runs once
+    val withSh = graft.core.Lineage.cut(
+      shingleFrame(docs, idCol, textCol, k)
+        .select(col(idCol).as("id"),
+          array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
+        .where(size(col("sh")) > 0))
+    val posting = withSh.select(col("id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("g"))
+    val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
+    val pref = posting.join(freq, Seq("g"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("g").asc)))
+      .where(col("rnk") <= col("len") - ceil(col("len") * threshold) + lit(1))
+      .select(col("g"), col("id"), col("df"))
       .where(col("df") <= maxPostings)
-    val filtered = posting.join(hot, Seq("g"))
-    val cand = filtered.select(col("g"), col("id").as("a"))
-      .join(filtered.select(col("g"), col("id").as("b")), Seq("g"))
+    val cand = pref.select(col("g"), col("id").as("a"))
+      .join(pref.select(col("g"), col("id").as("b")), Seq("g"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
     cand
