@@ -107,11 +107,15 @@ object TriangleCount {
       // wedge close: for edge (s,t), common out-neighbors complete triangles.
       val aS = bcast(adj.select(col("id").as("src"), col("nbrs").as("nsrc")))
       val aT = bcast(adj.select(col("id").as("dst"), col("nbrs").as("ndst")))
+      // sorted-merge intersect (codegen'd two-pointer loop) — the arrays
+      // are ascending by construction; the generic array_intersect would
+      // hash one side per row (see graft.functions.SortedIntersect).
       val tris = directed
         .join(aS, Seq("src"))
         .join(aT, Seq("dst"))
         .select(col("src"), col("dst"),
-          array_intersect(col("nsrc"), col("ndst")).as("common"))
+          graft.functions.VectorFunctions
+            .sortedIntersect(col("nsrc"), col("ndst")).as("common"))
         .where(size(col("common")) > 0)
 
       // corners: src and dst credit |common| each; every member of common
@@ -209,7 +213,8 @@ object TriangleCount {
       .join(bcast(adj.select(col("id").as("src"), col("nbrs").as("nsrc"))), Seq("src"))
       .join(bcast(adj.select(col("id").as("dst"), col("nbrs").as("ndst"))), Seq("dst"))
       .select(col("src"), col("dst"),
-        explode(array_intersect(col("nsrc"), col("ndst"))).as("apex"))
+        explode(graft.functions.VectorFunctions
+          .sortedIntersect(col("nsrc"), col("ndst"))).as("apex"))
       .select(
         least(col("src"), col("dst"), col("apex")).as("nodeA"),
         // middle = sum - min - max

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /**
  * Codegen'd vector kernels. The similarity surface computes millions of
@@ -79,8 +79,140 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Merge-intersection of two SORTED array<long> columns (ascending, no
+ * nulls, no duplicates — the shape `sort_array(collect_set(...))` and
+ * sorted hashed-shingle sets produce). Spark's generic `array_intersect`
+ * builds a per-row hash set of one side (allocation + hashing per
+ * element); on the triangle wedge-close hot path — millions of edges ×
+ * ~√m-element adjacency arrays, the reference's tight sorted-CSR loop is
+ * GraphIntersect.java:60-130 — a two-pointer merge inside whole-stage
+ * codegen does the same work with zero hashing. Callers OWN the
+ * sortedness precondition; unsorted input silently under-counts, exactly
+ * like the reference's CSR intersect on unsorted adjacency.
+ */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect expects two array<bigint> arguments, got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    val buf = new Array[Long](math.min(xs.length, ys.length))
+    var i = 0; var j = 0; var k = 0
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) < ys(j)) i += 1
+      else if (xs(i) > ys(j)) j += 1
+      else { buf(k) = xs(i); k += 1; i += 1; j += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, k))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+      val buf = ctx.freshName("buf")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      s"""
+         |long[] $xs = $a.toLongArray();
+         |long[] $ys = $b.toLongArray();
+         |long[] $buf = new long[Math.min($xs.length, $ys.length)];
+         |int $i = 0, $j = 0, $k = 0;
+         |while ($i < $xs.length && $j < $ys.length) {
+         |  if ($xs[$i] < $ys[$j]) $i++;
+         |  else if ($xs[$i] > $ys[$j]) $j++;
+         |  else { $buf[$k++] = $xs[$i]; $i++; $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($buf, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |A ∩ B| of two sorted array<long> columns without materializing the
+ *  intersection — the dedup verify step only needs the count. Same
+ *  sortedness contract as [[SortedIntersect]]. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_size expects two array<bigint> arguments, got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var k = 0
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) < ys(j)) i += 1
+      else if (xs(i) > ys(j)) j += 1
+      else { k += 1; i += 1; j += 1 }
+    }
+    k
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      s"""
+         |long[] $xs = $a.toLongArray();
+         |long[] $ys = $b.toLongArray();
+         |int $i = 0, $j = 0, $k = 0;
+         |while ($i < $xs.length && $j < $ys.length) {
+         |  if ($xs[$i] < $ys[$j]) $i++;
+         |  else if ($xs[$i] > $ys[$j]) $j++;
+         |  else { $k++; $i++; $j++; }
+         |}
+         |${ev.value} = $k;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-facing codegen'd dot product over two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Merge-intersection of two SORTED ascending array<bigint> columns. */
+  def sortedIntersect(a: Column, b: Column): Column =
+    GraftShims.column(SortedIntersect(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Intersection size of two SORTED ascending array<bigint> columns. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftShims.column(SortedIntersectSize(GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -151,7 +151,7 @@ object Dedup {
     val withSh = graft.core.Lineage.cut(
       shingleFrame(docs, idCol, textCol, k)
         .select(col(idCol).as("id"),
-          array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
+          sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("sh"))
         .where(size(col("sh")) > 0))
     val posting = withSh.select(col("id"), size(col("sh")).as("len"),
       explode(col("sh")).as("g"))
@@ -166,12 +166,15 @@ object Dedup {
       .join(pref.select(col("g"), col("id").as("b")), Seq("g"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
+    // |A∪B| = |A| + |B| − |A∩B|; the intersection count is a codegen'd
+    // two-pointer merge over the sorted hashed sets (no per-pair hashing).
+    val inter = graft.functions.VectorFunctions
+      .sortedIntersectSize(col("sha"), col("shb")).cast("double")
     cand
       .join(withSh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(withSh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+        (inter / (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
