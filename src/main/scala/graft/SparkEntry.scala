@@ -56,6 +56,7 @@ object SparkEntry {
     "lang_id" -> (P.langId _),
     "ann_cosine" -> (P.annCosine _),
     "similarity_proc" -> (P.similarityProc _),
+    "doc_fingerprint" -> (P.fingerprint _),
     "astar" -> (G.astar _),
     "delta_stepping" -> (G.deltaStepping _),
     "one_hot" -> (G.oneHot _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "hyperball" -> (G.hyperball _),
     // property oracles (structural invariants checked end to end)
     "k1coloring_check" -> (G.k1coloringCheck _),
+    "dfs_check" -> (G.dfsCheck _),
     "mst_check" -> (G.mstCheck _),
     "fastrp_check" -> (G.fastrpCheck _),
     "random_walk_check" -> (G.randomWalkCheck _),
@@ -72,13 +74,12 @@ object SparkEntry {
     "ann_descent_recall" -> (P.annDescentRecall _),
     "louvain_check" -> (G.louvainCheck _),
     "yens_check" -> (G.yensCheck _),
+    "dedup_ngram_pairs" -> (P.dedupNgramPairs _),
     // rows-only (non-portable hashing / approximate)
     "dedup_simhash" -> (P.dedupSimhash _),
-    "dedup_ngram_pairs" -> (P.dedupNgramPairs _),
     "dedup_lsh_pairs" -> (P.dedupLshPairs _),
     "knn_lsh" -> (P.knnLsh _),
     "ann_nn_descent" -> (P.annNnDescent _),
-    "doc_fingerprint" -> (P.fingerprint _),
     "multimodal_features" -> (P.multimodal _))
 
   def oracleSql: Map[String, String] = OracleSql.all
@@ -109,7 +110,7 @@ object SparkEntry {
     "hyperball_check",
     // bounded-subgraph / quadratic-candidate operators
     "node_similarity", "node_similarity_weighted", "mst", "mst_check",
-    "knn_recall", "dfs", "random_walks", "random_walk_check",
+    "knn_recall", "dfs", "dfs_check", "random_walks", "random_walk_check",
     "yens", "yens_check",
     // most expensive tail
     "betweenness", "fastrp", "fastrp_check", "louvain", "louvain_check",

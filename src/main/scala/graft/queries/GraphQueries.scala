@@ -338,13 +338,34 @@ object GraphQueries {
   }
 
   /** DFS visit order from the first repo on the induced ≤ r000500
-   *  subgraph (sequential visit-order contract; rows-only check —
-   *  stack order has no tractable SQL oracle). */
-  def dfs(spark: SparkSession, dir: String): DataFrame = {
-    val (sg, verts) = cachedSubgraph(spark, dir, "r000500", weighted = false)
-    val r = Traversal.traverse(sg, source = 0L,
-      dfs = true, orientation = Orientation.Undirected)
-    toRepo(r, verts, "visitOrder")
+   *  subgraph (sequential visit-order contract; the specific stack order
+   *  has no tractable SQL oracle — dfs_check pins the set-level
+   *  invariants). Shared by dfs and dfs_check (twins). */
+  private def cachedDfs(spark: SparkSession, dir: String): DataFrame =
+    cachedResult(spark, s"dfs|$dir") {
+      val (sg, verts) = cachedSubgraph(spark, dir, "r000500", weighted = false)
+      val r = Traversal.traverse(sg, source = 0L,
+        dfs = true, orientation = Orientation.Undirected)
+      toRepo(r, verts, "visitOrder")
+    }
+
+  def dfs(spark: SparkSession, dir: String): DataFrame = cachedDfs(spark, dir)
+
+  /** Property oracle for dfs (Traverse.java semantics: every node of the
+   *  source's connected component is visited exactly once): visited count
+   *  = component size (the oracle recomputes reachability in SQL), visit
+   *  orders are distinct, and the minimum repo (dense id 0 = the source)
+   *  is visited first. */
+  def dfsCheck(spark: SparkSession, dir: String): DataFrame = {
+    val visits = cachedDfs(spark, dir)
+    import spark.implicits._
+    val row = visits.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("visitOrder")).as("d"),
+      (min_by(col("repo"), col("visitOrder")) === min(col("repo"))).as("sf"))
+      .head()
+    Seq((row.getLong(0), row.getLong(1), row.getBoolean(2)))
+      .toDF("nodes", "distinct_orders", "source_first")
   }
 
   /** Minimum spanning forest (Borůvka; Prim-equivalent weight) over the

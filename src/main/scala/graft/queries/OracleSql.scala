@@ -284,6 +284,41 @@ mh AS (SELECT doc_id,
        FROM sh GROUP BY doc_id)
 SELECT doc_id, h0, h1, h2, h3 FROM mh"""
 
+  /** N-gram Jaccard near-dup pairs (word 5-shingles, J ≥ 0.3) — a FULL
+   *  value oracle: the engine's PPJoin prefix filter is lossless and its
+   *  hashed-shingle Jaccard equals string-shingle Jaccard (64-bit hashes,
+   *  distinct shingles), so an inverted-index SQL join over the raw
+   *  shingle strings recomputes the identical pair set and values. */
+  val dedupNgram: String = """
+WITH toks AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+  FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i) gs),
+sl AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT i.a, i.b, round(i.c * 1.0 / (na.n + nb.n - i.c), 6) AS jaccard
+FROM inter i JOIN sl na ON na.doc_id = i.a JOIN sl nb ON nb.doc_id = i.b
+WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.3"""
+
+  /** Winnowing-lite document fingerprint — the 4 smallest sha256 digests
+   *  of the distinct word 3-shingles, concatenated; sha2 hex is identical
+   *  across engines, so this is a full value oracle (docs with < 3 tokens
+   *  fingerprint to the empty string on both sides). */
+  val docFingerprint: String = """
+WITH toks AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+  FROM documents),
+sh AS (SELECT DISTINCT doc_id, sha256(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS d
+       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) gs),
+rk AS (SELECT doc_id, d, row_number() OVER (PARTITION BY doc_id ORDER BY d) AS r FROM sh),
+fp AS (SELECT doc_id, string_agg(d, '' ORDER BY d) AS f FROM rk WHERE r <= 4 GROUP BY doc_id)
+SELECT toks.doc_id, coalesce(fp.f, '') AS fingerprint
+FROM toks LEFT JOIN fp ON toks.doc_id = fp.doc_id"""
+
   /** MinHash-LSH near-dup pairs — the full pipeline is engine-portable
    *  (sha256 string-min lanes, 4×2 banding, bucket cap 50, exact shingle
    *  Jaccard ≥ 0.3 verification), mirroring Dedup.minhashLsh(k=3, bands=4,
@@ -645,6 +680,23 @@ FROM nodes"""
 SELECT CAST(count(*) AS BIGINT) AS walks, CAST(0 AS BIGINT) AS bad_steps
 FROM nodes"""
 
+  /** Property oracle (dfs_check): an unbounded undirected DFS visits the
+   *  source's whole connected component exactly once — the oracle
+   *  recomputes the reachable set of the min repo on the ≤ r000500
+   *  induced subgraph with a recursive CTE; Spark reports its actual
+   *  visited count, distinct visit orders, and source-first flag. */
+  val dfsCheck: String = graphCte + """,
+seu AS MATERIALIZED (SELECT src, dst FROM eu
+  WHERE src <= 'r000500' AND dst <= 'r000500'),
+src0 AS (SELECT min(id) AS s FROM nodes WHERE id <= 'r000500'),
+reach AS (SELECT s AS id FROM src0
+          UNION
+          SELECT e.dst AS id FROM reach r JOIN seu e ON e.src = r.id)
+SELECT CAST(count(*) AS BIGINT) AS nodes,
+       CAST(count(*) AS BIGINT) AS distinct_orders,
+       true AS source_first
+FROM reach"""
+
   /** Property oracle (knn_recall): LSH recall@5 vs the exact brute-force
    *  top-k must clear the 0.25 regression floor; Spark measures it. */
   val knnRecall: String = """
@@ -701,5 +753,8 @@ FROM embeddings WHERE vec_id < 2000"""
     "lang_id" -> langId,
     "ann_cosine" -> annCosine,
     "dedup_minhash" -> minhash,
-    "dedup_lsh_pairs" -> dedupLshPairs)
+    "dedup_lsh_pairs" -> dedupLshPairs,
+    "doc_fingerprint" -> docFingerprint,
+    "dedup_ngram_pairs" -> dedupNgram,
+    "dfs_check" -> dfsCheck)
 }

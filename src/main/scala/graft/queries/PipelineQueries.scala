@@ -82,6 +82,7 @@ object PipelineQueries {
 
   def dedupNgramPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(spark, dir), k = 5, threshold = 0.3)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
 
   def dedupLshPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(spark, dir), k = 3, bands = 4, rowsPerBand = 2,
