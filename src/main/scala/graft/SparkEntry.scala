@@ -66,6 +66,7 @@ object SparkEntry {
     // property oracles (structural invariants checked end to end)
     "k1coloring_check" -> (G.k1coloringCheck _),
     "dfs_check" -> (G.dfsCheck _),
+    "multimodal_check" -> (P.multimodalCheck _),
     "mst_check" -> (G.mstCheck _),
     "fastrp_check" -> (G.fastrpCheck _),
     "random_walk_check" -> (G.randomWalkCheck _),
@@ -93,7 +94,7 @@ object SparkEntry {
     // per-row pipeline ops over documents (no graph derivation needed)
     "text_tokens", "lang_id", "text_quality", "dedup_exact",
     "doc_fingerprint", "dedup_minhash", "dedup_simhash",
-    "multimodal_features",
+    "multimodal_features", "multimodal_check",
     // pair-scale pipeline ops
     "knn_lsh", "similarity_proc", "dedup_lsh_pairs", "ann_cosine",
     "ann_nn_descent", "ann_descent_recall", "dedup_ngram_pairs",

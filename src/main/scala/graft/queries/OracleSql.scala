@@ -697,6 +697,14 @@ SELECT CAST(count(*) AS BIGINT) AS nodes,
        true AS source_first
 FROM reach"""
 
+  /** Property oracle (multimodal_check): every synthesized BMP payload
+   *  decodes to an 11-dim feature vector with in-range channel means and
+   *  a luminance histogram summing to 1; Spark counts violations over its
+   *  actual raster math, the oracle pins the doc count and zero. */
+  val multimodalCheck: String = """
+SELECT CAST(count(*) AS BIGINT) AS docs, CAST(0 AS BIGINT) AS violations
+FROM documents"""
+
   /** Property oracle (knn_recall): LSH recall@5 vs the exact brute-force
    *  top-k must clear the 0.25 regression floor; Spark measures it. */
   val knnRecall: String = """
@@ -756,5 +764,6 @@ FROM embeddings WHERE vec_id < 2000"""
     "dedup_lsh_pairs" -> dedupLshPairs,
     "doc_fingerprint" -> docFingerprint,
     "dedup_ngram_pairs" -> dedupNgram,
-    "dfs_check" -> dfsCheck)
+    "dfs_check" -> dfsCheck,
+    "multimodal_check" -> multimodalCheck)
 }

@@ -174,16 +174,38 @@ object PipelineQueries {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Dedup.fingerprint(docs(spark, dir))
 
-  def multimodal(spark: SparkSession, dir: String): DataFrame = {
-    val withPayload = Multimodal.synthesizePayloads(docs(spark, dir))
-    val resized = Multimodal.resize(withPayload, maxSide = 512)
-    // width/height come from PARSING the resized payload's header bytes —
-    // the de-stubbed decode path — not from the metadata struct.
-    val dims = Multimodal.imageDimensions(col("payload"))
-    Multimodal.extractFeatures(resized)
-      .select(col("doc_id"), dims.getField("width").as("width"),
-        dims.getField("height").as("height"),
-        length(col("payload")).as("payload_bytes"),
-        col("features"))
+  /** Shared by multimodal and multimodal_check (twins). */
+  private def cachedMultimodal(spark: SparkSession, dir: String): DataFrame =
+    GraphQueries.cachedResult(spark, s"multimodal|$dir") {
+      val withPayload = Multimodal.synthesizePayloads(docs(spark, dir))
+      val resized = Multimodal.resize(withPayload, maxSide = 512)
+      // width/height come from PARSING the resized payload's header bytes —
+      // the de-stubbed decode path — not from the metadata struct.
+      val dims = Multimodal.imageDimensions(col("payload"))
+      Multimodal.extractFeatures(resized)
+        .select(col("doc_id"), dims.getField("width").as("width"),
+          dims.getField("height").as("height"),
+          length(col("payload")).as("payload_bytes"),
+          col("features"))
+    }
+
+  def multimodal(spark: SparkSession, dir: String): DataFrame =
+    cachedMultimodal(spark, dir)
+
+  /** Property oracle for the raster feature math: every document decodes
+   *  to an 11-dim vector ([meanR,meanG,meanB] ++ 8-bin luminance
+   *  histogram), channel means live in [0,255], and each histogram — a
+   *  vector of per-bin FRACTIONS — sums to exactly 1. The oracle pins the
+   *  document count from the raw table and zero violations. */
+  def multimodalCheck(spark: SparkSession, dir: String): DataFrame = {
+    val m = cachedMultimodal(spark, dir)
+    val histSum = aggregate(slice(col("features"), 4, 8), lit(0.0), _ + _)
+    val means = slice(col("features"), 1, 3)
+    val bad = m.where(col("features").isNull
+      .or(size(col("features")) =!= 11)
+      .or(abs(histSum - 1.0) > 1e-9)
+      .or(exists(means, v => v < 0.0 || v > 255.0))).count()
+    import spark.implicits._
+    Seq((m.count(), bad)).toDF("docs", "violations")
   }
 }
