@@ -321,15 +321,62 @@ object MemoryEstimation {
       "edge partition" -> r * 16))
   }
 
-  /** FastRP: exploded sparse (id, pos, value) embedding — n × dim rows per
-   *  iteration frame + one edge copy per aggregation pass. */
+  /** FastRP (wide-column layout, r4): one row per node carrying dim
+   *  doubles; each propagation joins the edge frame against it, so the
+   *  pre-aggregation message frame peaks at one wide row per edge
+   *  (map-side partial aggregation collapses it to ≤ one per (dst,
+   *  partition) before the shuffle). */
   def fastRP(graph: PropertyGraph, embeddingSize: Int = 128,
       iterations: Int = 3): Estimate = {
     val n = graph.nodeCount; val r = graph.edgeCount
+    val wideRow = 8L + embeddingSize.toLong * 8
     val e = build(s"fastRP (dim=$embeddingSize)", n, r, Seq(
-      "exploded embedding (id,pos,val)" -> n * embeddingSize.toLong * 24,
-      "message frame per iteration" -> r * embeddingSize.toLong * 24 / math.max(n, 1),
+      "wide embedding (id, dim doubles)" -> n * wideRow,
+      "pre-agg message frame ≤ 1 wide row/edge" -> r * wideRow,
       "edge partition" -> r * 24))
     e.copy(tree = e.tree + s"\n  |-- ($iterations iterations, peak = 2 frames live)")
+  }
+
+  /** Eigenvector / ArticleRank: the PageRank superstep shape — score
+   *  state + combined messages + one hash-partitioned edge copy. */
+  def eigenvector(graph: PropertyGraph): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    build("eigenvector/articleRank", n, r, Seq(
+      "vertex state (id,score,delta,flags)" -> n * (8 * 3 + 2),
+      "combined messages (id,msg)" -> n * 16,
+      "edge partition (src,dst,weight)" -> r * 24))
+  }
+
+  /** K1Coloring: color state + the conflict-detection frame (≤ one row
+   *  per edge per round) + the undirected edge copy. */
+  def k1Coloring(graph: PropertyGraph): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    build("k1coloring", n, r, Seq(
+      "vertex state (id,color,flags)" -> n * (8 * 2 + 2),
+      "conflict frame ≤ 1/edge" -> r * 2 * 16,
+      "edge partition (undirected ×2)" -> r * 2 * 16))
+  }
+
+  /** Spanning tree (Borůvka): component state + the per-component
+   *  minimum-edge frame (≤ one row per node per round) + the weighted
+   *  undirected edge partition (shrinks as components merge). */
+  def spanningTree(graph: PropertyGraph): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    build("spanningTree", n, r, Seq(
+      "component state (id,comp,flags)" -> n * (8 * 2 + 2),
+      "per-component min edge (comp,src,dst,w)" -> n * 32,
+      "edge partition (undirected ×2, weighted)" -> r * 2 * 24))
+  }
+
+  /** RandomWalk (node2vec): the materialized paths dominate — walkLength
+   *  longs per walk per node — plus the step state and one edge copy for
+   *  the neighbor lookup join. */
+  def randomWalk(graph: PropertyGraph, walksPerNode: Int = 10,
+      walkLength: Int = 80): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    build(s"randomWalk (walks=$walksPerNode,len=$walkLength)", n, r, Seq(
+      "materialized paths" -> n * walksPerNode.toLong * walkLength * 8,
+      "step state (walk,cur,prev,step)" -> n * walksPerNode.toLong * 32,
+      "edge partition (src,dst,weight)" -> r * 24))
   }
 }

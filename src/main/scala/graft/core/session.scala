@@ -171,6 +171,15 @@ final case class GraphOps(name: String, g: PropertyGraph) {
     MemoryEstimation.closeness(g, sources)
   def fastRPEstimate(embeddingSize: Int = 128): MemoryEstimation.Estimate =
     MemoryEstimation.fastRP(g, embeddingSize)
+  def eigenvectorEstimate(): MemoryEstimation.Estimate =
+    MemoryEstimation.eigenvector(g)
+  def k1ColoringEstimate(): MemoryEstimation.Estimate =
+    MemoryEstimation.k1Coloring(g)
+  def spanningTreeEstimate(): MemoryEstimation.Estimate =
+    MemoryEstimation.spanningTree(g)
+  def randomWalkEstimate(walksPerNode: Int = 10,
+      walkLength: Int = 80): MemoryEstimation.Estimate =
+    MemoryEstimation.randomWalk(g, walksPerNode, walkLength)
 
   // stats mode
   def wccStats(): StatsResult = {

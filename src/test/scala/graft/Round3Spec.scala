@@ -186,5 +186,17 @@ class Round3Spec extends SparkSpec {
     val all = MemoryEstimation.betweenness(big, None)
     val sampled = MemoryEstimation.betweenness(big, Some(4L))
     assert(sampled.bytesMin < all.bytesMin)
+    // r4 families: eigenvector/articleRank, k1coloring, spanning tree,
+    // random walk — every remaining algorithm family has an estimate
+    check("eigenvector", g => MemoryEstimation.eigenvector(g))
+    check("k1coloring", g => MemoryEstimation.k1Coloring(g))
+    check("spanningTree", g => MemoryEstimation.spanningTree(g))
+    check("randomWalk", g => MemoryEstimation.randomWalk(g))
+    // paths dominate random-walk memory: doubling walkLength ~doubles it
+    assert(MemoryEstimation.randomWalk(small, 10, 160).bytesMin >
+      MemoryEstimation.randomWalk(small, 10, 80).bytesMin)
+    // fastRP wide rows scale with the embedding dimension
+    assert(MemoryEstimation.fastRP(small, 256).bytesMin >
+      MemoryEstimation.fastRP(small, 128).bytesMin)
   }
 }
