@@ -76,6 +76,7 @@ object SparkEntry {
     "louvain_check" -> (G.louvainCheck _),
     "yens_check" -> (G.yensCheck _),
     "dedup_ngram_pairs" -> (P.dedupNgramPairs _),
+    "simhash_check" -> (P.simhashCheck _),
     // rows-only (non-portable hashing / approximate)
     "dedup_simhash" -> (P.dedupSimhash _),
     "dedup_lsh_pairs" -> (P.dedupLshPairs _),
@@ -93,7 +94,7 @@ object SparkEntry {
   val orderedQueryNames: Seq[String] = Seq(
     // per-row pipeline ops over documents (no graph derivation needed)
     "text_tokens", "lang_id", "text_quality", "dedup_exact",
-    "doc_fingerprint", "dedup_minhash", "dedup_simhash",
+    "doc_fingerprint", "dedup_minhash", "dedup_simhash", "simhash_check",
     "multimodal_features", "multimodal_check",
     // pair-scale pipeline ops
     "knn_lsh", "similarity_proc", "dedup_lsh_pairs", "ann_cosine",

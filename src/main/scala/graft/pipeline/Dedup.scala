@@ -219,6 +219,37 @@ object Dedup {
   }
 
   /**
+   * Engine-portable SimHash twin (`simhash_check`): identical math to
+   * `simhash`, but bit j of the fingerprint comes from the parity of hex
+   * digit j of sha256(token) (64 hex chars ↔ 64 bits) instead of xxhash64
+   * bit j — sha2 hex is byte-identical across engines, so DuckDB recomputes
+   * the exact signature (OracleSql.simhashCheck). Emitted as two unsigned
+   * 32-bit halves (`hi` = bits 32..63, `lo` = bits 0..31) so neither engine
+   * needs the 1<<63 shift that overflows a signed bigint. Weights are
+   * integer token counts, so the per-bit sum `s` and its sign are exact —
+   * no float-order portability hazard.
+   * @return (doc_id, hi, lo); docs with zero tokens are absent
+   */
+  def simhashPortable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("w"))
+      .withColumn("h", sha2(col("tok"), 256))
+    val bits = tf.select(col(idCol), col("w"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .select(col(idCol), col("bit"),
+        when(expr("substring(h, bit + 1, 1)").isin(odd: _*), col("w"))
+          .otherwise(-col("w")).as("contrib"))
+      .groupBy(col(idCol), col("bit")).agg(sum("contrib").as("s"))
+    bits.groupBy(col(idCol)).agg(
+      sum(when(col("s") > 0 && col("bit") >= 32,
+        expr("shiftleft(cast(1 as bigint), bit - 32)")).otherwise(0L)).as("hi"),
+      sum(when(col("s") > 0 && col("bit") < 32,
+        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("lo"))
+  }
+
+  /**
    * Rolling-hash document fingerprint (winnowing-lite): the `n` smallest
    * k-shingle digests, concatenated — robust to local edits, built from
    * the same engine-portable sha2 primitive.

@@ -284,6 +284,29 @@ mh AS (SELECT doc_id,
        FROM sh GROUP BY doc_id)
 SELECT doc_id, h0, h1, h2, h3 FROM mh"""
 
+  /** Portable SimHash signatures (simhash_check) — a FULL value oracle:
+   *  bit j = sign of Σ ±tf over tokens, with the token's bit j read as the
+   *  parity of hex digit j of sha256(token); weights are integer counts so
+   *  the sign is exact in both engines. Emitted as two 32-bit halves
+   *  (hi = bits 32..63, lo = bits 0..31) to avoid the 1<<63 overflow.
+   *  Mirrors Dedup.simhashPortable. */
+  val simhashCheck: String = """
+WITH toks AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS w
+       FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u GROUP BY 1, 2),
+th AS (SELECT doc_id, w, sha256(tok) AS h FROM tf),
+bits AS (SELECT doc_id, bit,
+           sum(CASE WHEN substr(h, bit + 1, 1) IN ('1','3','5','7','9','b','d','f')
+                    THEN w ELSE -w END) AS s
+         FROM th, LATERAL (SELECT unnest(generate_series(0, 63)) AS bit) b
+         GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(sum(CASE WHEN s > 0 AND bit >= 32 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi,
+  CAST(sum(CASE WHEN s > 0 AND bit < 32 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS lo
+FROM bits GROUP BY doc_id"""
+
   /** N-gram Jaccard near-dup pairs (word 5-shingles, J ≥ 0.3) — a FULL
    *  value oracle: the engine's PPJoin prefix filter is lossless and its
    *  hashed-shingle Jaccard equals string-shingle Jaccard (64-bit hashes,
@@ -764,6 +787,7 @@ FROM embeddings WHERE vec_id < 2000"""
     "dedup_lsh_pairs" -> dedupLshPairs,
     "doc_fingerprint" -> docFingerprint,
     "dedup_ngram_pairs" -> dedupNgram,
+    "simhash_check" -> simhashCheck,
     "dfs_check" -> dfsCheck,
     "multimodal_check" -> multimodalCheck)
 }

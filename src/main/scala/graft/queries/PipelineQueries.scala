@@ -80,6 +80,13 @@ object PipelineQueries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir))
 
+  /** Oracle-bearing twin of dedup_simhash (the one remaining rows-only
+   *  query without one): the identical sign-of-weighted-bit-sum fingerprint
+   *  under an engine-portable sha256 bit source, fully recomputed by the
+   *  DuckDB oracle as a value check. */
+  def simhashCheck(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPortable(docs(spark, dir))
+
   def dedupNgramPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(spark, dir), k = 5, threshold = 0.3)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))

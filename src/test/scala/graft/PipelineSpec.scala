@@ -52,6 +52,24 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("portable simhash: identical docs equal, near closer than far, halves 32-bit") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs((1L, base), (2L, base), (3L, base + " extra"), (4L, "t o t a l l y d i f f e r e n t w o r d s"))
+    val h = Dedup.simhashPortable(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
+    Dedup.simhashPortable(d).collect().foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32))
+      assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 32))
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L))
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+    // deterministic across partitioning (exact integer bit-sums)
+    val h2 = Dedup.simhashPortable(d.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
+    assert(h == h2)
+  }
+
   test("document fingerprint stable under distant edits, changes locally") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val d = docs((1L, base), (2L, base))
