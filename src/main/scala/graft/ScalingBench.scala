@@ -143,6 +143,10 @@ object ScalingBench {
           val (r, m) = Wcc.runWithMetrics(g)
           r.count(); (r, m)
         }
+        // fixed-vs-scaling decomposition: setup (undirected distinct +
+        // edge repartition/localCheckpoint) = total − Σ superstep ms
+        System.err.println(s"[scaling] local[$cpus] wcc superstep ms: " +
+          wccPair._2.metrics.map(_.wallMillis).mkString(","))
         timings += AlgoTiming("wcc", wccSec, wccPair._2.supersteps,
           workEdges * wccPair._2.supersteps / wccSec)
       }
