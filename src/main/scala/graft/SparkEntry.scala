@@ -57,6 +57,9 @@ object SparkEntry {
     "ann_cosine" -> (P.annCosine _),
     "similarity_proc" -> (P.similarityProc _),
     "doc_fingerprint" -> (P.fingerprint _),
+    "dedup_embedding" -> (P.dedupEmbedding _),
+    "dedup_embedding_canon" -> (P.dedupEmbeddingCanon _),
+    "dedup_embedding_check" -> (P.dedupEmbeddingCheck _),
     "astar" -> (G.astar _),
     "delta_stepping" -> (G.deltaStepping _),
     "one_hot" -> (G.oneHot _),
@@ -99,6 +102,7 @@ object SparkEntry {
     // pair-scale pipeline ops
     "knn_lsh", "similarity_proc", "dedup_lsh_pairs", "ann_cosine",
     "ann_nn_descent", "ann_descent_recall", "dedup_ngram_pairs",
+    "dedup_embedding", "dedup_embedding_canon", "dedup_embedding_check",
     // ingest + graph derivation (first of these pays the shared cache)
     "ingest_sha", "graph_edges", "graph_degree", "degree_centrality",
     "one_hot", "stream_node_properties",

@@ -250,6 +250,82 @@ object Dedup {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs — EXACT baseline: every pair
+   * (a < b) whose embedding cosine clears `threshold`. O(n²) by design;
+   * the correctness surface the LSH-bucketed scale path below is measured
+   * against, for bounded id ranges only (like Similarity.bruteForceTopK).
+   * Norms are precomputed per VECTOR (one array pass each), so the pair
+   * expression is a single codegen'd dot product.
+   * @return (a, b, cosine) with a < b, cosine >= threshold
+   */
+  def embeddingNearDupExact(vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val l = v.select(col("id").as("a"), col("v").as("va"), col("n").as("na"))
+    val r = v.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb"))
+    l.crossJoin(r).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /**
+   * Embedding-cosine near-dup — the 100 TB path: hyperplane-LSH band
+   * buckets generate candidates (ids-only shuffle, exactly like
+   * `minhashLsh`'s band join), then candidates are verified with the EXACT
+   * cosine — so false positives are zero BY CONSTRUCTION and the only
+   * approximation is recall (a τ-similar pair missed by every band).
+   * Collision odds per band rise steeply with cosine: near-dups at
+   * τ ≈ 0.9 are all but guaranteed to collide somewhere, which is why
+   * banding is the standard near-dup design at corpus scale.
+   * @return (a, b, cosine) with a < b — a subset of the exact result
+   */
+  def embeddingNearDup(vectors: DataFrame, threshold: Double,
+      bands: Int = 16, bitsPerBand: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val buckets = Similarity.lshBuckets(vectors, bands, bitsPerBand, seed, idCol, vecCol)
+    val cand = buckets.select(col("bucket"), col("id").as("a"))
+      .join(buckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
+    val v = vectors.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    cand
+      .join(v.select(col("id").as("a"), col("v").as("va"), col("n").as("na")), Seq("a"))
+      .join(v.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /**
+   * Canonical assignment over near-dup PAIRS: treat pairs as an undirected
+   * graph, run the engine's own WCC, and map every id to the smallest id
+   * of its component — the embedding twin of `exact`'s (doc, canonical)
+   * contract. Ids absent from every pair are their own canonical.
+   * Composes `graft.algos.Wcc` (same Pregel machinery as the graph
+   * surface), so the near-dup clustering inherits WCC's scale shape.
+   * @return (id, canonical_id) — one row per input vector
+   */
+  def embeddingCanonical(vectors: DataFrame, pairs: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    val nodes = vectors.select(col(idCol).as("id"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .withColumn("type", lit("NEAR_DUP")).withColumn("weight", lit(1.0))
+    val comp = graft.algos.Wcc.run(graft.core.PropertyGraph(nodes, edges))
+    // component labels are min-propagated ids already, but derive the
+    // canonical explicitly so the contract never depends on WCC's label
+    // choice: canonical_id = min(id) over the component.
+    val canon = comp.groupBy("component").agg(min("id").as("canonical_id"))
+    comp.join(broadcast(canon), Seq("component"))
+      .select(col("id"), col("canonical_id"))
+  }
+
+  /**
    * Rolling-hash document fingerprint (winnowing-lite): the `n` smallest
    * k-shingle digests, concatenated — robust to local edits, built from
    * the same engine-portable sha2 primitive.

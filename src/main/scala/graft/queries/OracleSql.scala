@@ -740,7 +740,51 @@ FROM embeddings WHERE vec_id < 2000"""
 SELECT CAST(count(*) AS BIGINT) AS queries, true AS recall_ge_0_80
 FROM embeddings WHERE vec_id < 2000"""
 
+  /** Embedding-cosine near-dup pairs — FULL value oracle: DuckDB
+   *  recomputes every pairwise cosine with list_inner_product and applies
+   *  the same unrounded τ filter (round only on output, like Spark). */
+  val dedupEmbedding: String = """
+WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 2000),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        list_inner_product(a.e, b.e) /
+        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS c
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT a, b, round(c, 6) AS cosine FROM p WHERE c >= 0.35"""
+
+  /** Canonical assignment over the near-dup graph — FULL value oracle for
+   *  the Dedup × Wcc composition: recursive min-label propagation over the
+   *  symmetrized pair edges; canonical = min reachable id (= min id of the
+   *  connected component). Pair volume is a few hundred rows at gate
+   *  scales, so the transitive closure is trivial for DuckDB. */
+  val dedupEmbeddingCanon: String = """
+WITH RECURSIVE v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 2000),
+p AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE list_inner_product(a.e, b.e) /
+        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.35),
+e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+r AS (
+  SELECT vec_id AS id, vec_id AS lbl FROM v
+  UNION
+  SELECT e.b AS id, r.lbl AS lbl FROM r JOIN e ON e.a = r.id
+)
+SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS canonical_id FROM r GROUP BY id"""
+
+  /** Property oracle (dedup_embedding_check): the LSH path's verified
+   *  pairs are a subset of the exact pairs (false_positives = 0 by
+   *  construction) with recall ≥ 0.6; exact_pairs is recomputed fully. */
+  val dedupEmbeddingCheck: String = """
+WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 2000)
+SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+       CAST(0 AS BIGINT) AS false_positives, true AS recall_ge_0_60
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.e, b.e) /
+      (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.35"""
+
   val all: Map[String, String] = Map(
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_canon" -> dedupEmbeddingCanon,
+    "dedup_embedding_check" -> dedupEmbeddingCheck,
     "k1coloring_check" -> k1coloringCheck,
     "mst_check" -> mstCheck,
     "fastrp_check" -> fastrpCheck,

@@ -181,6 +181,61 @@ object PipelineQueries {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Dedup.fingerprint(docs(spark, dir))
 
+  /** Near-dup threshold calibrated to the synthetic embeddings: the
+   *  corpus has no true duplicates (top pairwise cosine ≈ 0.48-0.51), so
+   *  τ = 0.35 exercises the machinery with a few hundred pairs at both
+   *  gate scales (257 at sf0.001, 271 at sf0.01). */
+  private val NearDupTau = 0.35
+
+  /** Exact pairs on the shared id range — the value surface of
+   *  dedup_embedding AND the ground truth for the LSH check + canonical
+   *  assignment. Memoized like the other algorithm/check twins. */
+  private def cachedNearDupExact(spark: SparkSession, dir: String): DataFrame =
+    GraphQueries.cachedResult(spark, s"embdup|$dir") {
+      Dedup.embeddingNearDupExact(
+        embs(spark, dir).where(col("vec_id") < 2000), NearDupTau)
+    }
+
+  /** Embedding-cosine near-dup pairs (exact form, full DuckDB value
+   *  oracle — list_inner_product recomputes every cosine). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    cachedNearDupExact(spark, dir)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+
+  /** Canonical assignment: near-dup pairs → the engine's own WCC →
+   *  (vec_id, canonical_id = min id of the component). DuckDB recomputes
+   *  the components independently with a recursive min-label CTE — a full
+   *  value oracle over a two-module composition (Dedup × Wcc). */
+  def dedupEmbeddingCanon(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCanonical(
+        embs(spark, dir).where(col("vec_id") < 2000),
+        cachedNearDupExact(spark, dir))
+      .select(col("id").as("vec_id"), col("canonical_id"))
+
+  /** Property oracle for the LSH-bucketed scale path: its verified pairs
+   *  must be an exact SUBSET of the brute-force pairs (false_positives=0 —
+   *  candidates are verified with the true cosine, so any extra row is a
+   *  bug) and recall the exact set above a floor. Hyperplane collision
+   *  odds at τ=0.35 / 64-dim with 16 bands × 4 bits give ~0.9 expected
+   *  recall on these near-uniform vectors (measured 0.93 at sf0.001,
+   *  0.92 at sf0.01); the 0.6 floor is a regression guard — a broken
+   *  band join drops it to ~0. DuckDB pins (exact_pairs by recomputation,
+   *  false_positives=0, recall_ge_0_60=true). */
+  def dedupEmbeddingCheck(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cachedNearDupExact(spark, dir).select(col("a"), col("b"))
+    val lsh = Dedup.embeddingNearDup(
+        embs(spark, dir).where(col("vec_id") < 2000), NearDupTau)
+      .select(col("a"), col("b"))
+    val falsePos = lsh.join(exact, Seq("a", "b"), "left_anti").count()
+    val hits = lsh.join(exact, Seq("a", "b")).count()
+    val total = exact.count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    System.err.println(f"[dedup_embedding] recall = $recall%.4f ($hits/$total)")
+    import spark.implicits._
+    Seq((total, falsePos, recall >= 0.6))
+      .toDF("exact_pairs", "false_positives", "recall_ge_0_60")
+  }
+
   /** Shared by multimodal and multimodal_check (twins). */
   private def cachedMultimodal(spark: SparkSession, dir: String): DataFrame =
     GraphQueries.cachedResult(spark, s"multimodal|$dir") {
