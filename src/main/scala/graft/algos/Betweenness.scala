@@ -46,10 +46,18 @@ object Betweenness {
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val divisor = if (config.orientation == Orientation.Undirected) 2.0 else 1.0
-    val edges = graph.aggregated(config.orientation, Aggregation.Count)
-      .select(col("src"), col("dst"))
+    // forward phase joins on src every level: prepared src layout; the
+    // self-loop filter on top preserves partitioning and ordering.
+    val edges = graph.pregelEdges(config.orientation, Aggregation.Count,
+        withWeight = false)
       .where(col("src") =!= col("dst"))
-      .cutLineage()
+    // backward phase joins on dst every level: ONE extra shuffle of the
+    // already-deduped frame buys exchange/sort-free joins down the levels.
+    val spark = graph.nodes.sparkSession
+    val edgesByDst = Lineage.withFastIteration(spark, enabled = true) {
+      edges.repartition(col("dst")).sortWithinPartitions("dst")
+        .localCheckpoint(true)
+    }
     val srcs = config.sources.getOrElse(graph.nodes.select(col("id")))
 
     // ---- forward phase: batched multi-source BFS with σ accumulation.
@@ -89,7 +97,7 @@ object Betweenness {
       // c(w) = (1 + δ(w)) / σ(w), summed over in-edges u→w; only u at
       // dist d−1 are predecessors — enforced by keying the apply join on
       // the (d−1)-level frame.
-      val contrib = edges
+      val contrib = edgesByDst
         .join(
           wDelta.join(levels(d).select(col("s"), col("v"), col("sigma")), Seq("s", "v"))
             .select(col("s"), col("v").as("dst"),
@@ -113,6 +121,10 @@ object Betweenness {
       .where(col("v") =!= col("s"))
       .groupBy(col("v").as("id"))
       .agg((sum("delta") / divisor).as("score"))
+    // both edge layouts are dead here: every level/delta frame is already
+    // independently checkpointed, so the result plan never re-reads them.
+    Lineage.release(edges)
+    Lineage.release(edgesByDst)
     graph.nodes.select(col("id"))
       .join(bc, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("score"), lit(0.0)).as("score"))

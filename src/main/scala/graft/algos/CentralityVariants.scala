@@ -24,9 +24,10 @@ object ArticleRank {
     import Pregel._
     val d = config.dampingFactor
     // Parallel-edge multiplicity becomes the edge weight; degrees derive
-    // from the same materialized frame (one scan of the raw edges — see
-    // PageRank for the identical pre-work rationale).
-    val edges = graph.aggregated(config.orientation, Aggregation.Count).cutLineage()
+    // from the same materialized frame — partition-local, since
+    // pregelEdges already hash(src)-partitioned it (one shuffle of the raw
+    // edges total — see PageRank for the identical pre-work rationale).
+    val edges = graph.pregelEdges(config.orientation, Aggregation.Count)
     val degrees = graph.nodes.select(col("id"))
       .join(edges.groupBy(col("src").as("id")).agg(sum("weight").as("d")),
         Seq("id"), "left_outer")
@@ -53,7 +54,8 @@ object ArticleRank {
         (lit(d) * coalesce(col(MSG), lit(0.0)) > config.tolerance &&
           col("deg") > 0.0).as(ACTIVE),
         (lit(d) * coalesce(col(MSG), lit(0.0)) > config.tolerance).as(CHANGED)),
-      config = config.pregel.copy(maxIterations = config.maxIterations))
+      config = config.pregel.copy(maxIterations = config.maxIterations,
+        edgesPrepared = true))
       .vertices.select(col("id"), col("rank").as("score"))
   }
 }
@@ -77,16 +79,16 @@ object Eigenvector {
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val spark = graph.nodes.sparkSession
-    // Pregel's layout-reuse trick (pregel.scala:122-135): hash-partition
-    // the static edge relation by the join key ONCE via an eager
-    // localCheckpoint that KEEPS the partitioning — each power iteration's
-    // edges⋈ranks join then reuses the layout and only the node-sized rank
-    // frame shuffles. Without this every iteration re-sorted the full edge
-    // frame under a sort-merge join (measured 10 s/iter vs 2.4 s/iter for
-    // the Pregel-based PageRank on the same 5.8M-row frame).
-    val edges = graph.aggregated(config.orientation, Aggregation.Sum)
-      .select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint(true)
+    // Pregel's prepared layout (PropertyGraph.pregelEdges): the static
+    // edge relation is hash(src)-partitioned, distinct'd partition-locally,
+    // sorted within partitions, and checkpointed in ONE shuffle — each
+    // power iteration's edges⋈ranks join then reuses both the layout and
+    // the ordering, so only the node-sized rank frame shuffles and sorts.
+    // Without this every iteration re-sorted the full edge frame under a
+    // sort-merge join (measured 10 s/iter vs 2.4 s/iter for the
+    // Pregel-based PageRank on the same 5.8M-row frame).
+    val edges = graph.pregelEdges(config.orientation, Aggregation.Count,
+      withWeight = false)
     val bigWork = edges.count() >= Lineage.aqeOffMinEdges(spark)
     Lineage.withFastIteration(spark, bigWork) {
     val n = graph.nodes.count()
@@ -119,7 +121,9 @@ object Eigenvector {
       ranks = nextC.select(col("id"), col("rank"))
       iter += 1
     }
-    ranks.select(col("id"), col("rank").as("score"))
+    val out = ranks.select(col("id"), col("rank").as("score"))
+    Lineage.release(edges)
+    out
     }
   }
 }

@@ -38,9 +38,11 @@ object Closeness {
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val spark = graph.nodes.sparkSession
-    val edges = graph.oriented(config.orientation)
-      .select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint(true)
+    // prepared layout: one shuffle, partition-local distinct, sorted —
+    // every MS-BFS wave's edges⋈frontier join reuses it exchange- and
+    // sort-free (PropertyGraph.pregelEdges).
+    val edges = graph.pregelEdges(config.orientation, Aggregation.Count,
+      withWeight = false)
     val n = graph.nodes.count()
 
     // batch sources 64 per word: batch = id / 64, bit = id % 64.

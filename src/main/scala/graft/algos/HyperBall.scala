@@ -46,8 +46,8 @@ object HyperBall {
       case 64 => 0.709
       case _  => 0.7213 / (1 + 1.079 / m)
     }
-    val edges = graph.aggregated(config.orientation, Aggregation.Count)
-      .select(col("src"), col("dst")).cutLineage()
+    val edges = graph.pregelEdges(config.orientation, Aggregation.Count,
+      withWeight = false)
     val nodes = graph.nodes.select(col("id")).cutLineage()
     val n = nodes.count()
 

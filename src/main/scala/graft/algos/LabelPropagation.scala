@@ -55,13 +55,21 @@ object LabelPropagation {
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     // partition once by the join key (dst — labels are pulled from the
-    // neighbor side); localCheckpoint (NOT cutLineage, which rebuilds the
-    // frame and drops outputPartitioning) preserves the layout across
-    // iterations so only the small label side shuffles per round.
-    val edges = graph.oriented(config.orientation)
-      .select(col("src"), col("dst"), col("weight"))
-      .repartition(col("dst"))
-      .localCheckpoint(true)
+    // neighbor side) and sort inside each partition; localCheckpoint (NOT
+    // cutLineage, which rebuilds the frame and drops outputPartitioning/
+    // ordering) preserves the layout across iterations so only the small
+    // label side shuffles AND only the small side sorts per round — the
+    // per-round re-sort of the big edge side was the dominant superstep
+    // cost on the 46 M-edge scaling graph.
+    // (AQE off during the eager checkpoint, or the captured partitioning
+    // is UnknownPartitioning — see PropertyGraph.pregelEdges.)
+    val edges = Lineage.withFastIteration(graph.spark, enabled = true) {
+      graph.oriented(config.orientation)
+        .select(col("src"), col("dst"), col("weight"))
+        .repartition(col("dst"))
+        .sortWithinPartitions("dst")
+        .localCheckpoint(true)
+    }
     val bigWork = edges.count() >= Lineage.aqeOffMinEdges(graph.spark)
     Lineage.withFastIteration(graph.spark, bigWork) {
 

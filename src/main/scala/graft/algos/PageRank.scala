@@ -47,16 +47,17 @@ object PageRank {
     import Pregel._
     val d = config.dampingFactor
 
-    // One aggregation pass over the oriented multigraph, materialized once:
-    // unweighted keeps the parallel-edge multiplicity as the edge weight
-    // (scatter = delta·mult/outDeg, exactly the reference's per-edge send,
-    // NonWeightedComputeStep.java:58-82), weighted sums the weights
-    // (WeightedComputeStep.java:61-97). Degrees then derive from THIS frame
-    // (Σ weight = outDegree resp. Σ out-weights), so the raw edge table is
-    // scanned exactly once before superstep 1 — round-1 re-derived both
-    // from the multigraph, two redundant full shuffles of pre-work.
+    // One aggregation pass over the oriented multigraph, materialized once
+    // in the prepared superstep layout (hash(src)-partitioned, sorted,
+    // checkpointed — pregelEdges): unweighted keeps the parallel-edge
+    // multiplicity as the edge weight (scatter = delta·mult/outDeg, exactly
+    // the reference's per-edge send, NonWeightedComputeStep.java:58-82),
+    // weighted sums the weights (WeightedComputeStep.java:61-97). Degrees
+    // then derive from THIS frame — and because it is already partitioned
+    // by src, the degree aggregation is partition-local (no shuffle), so
+    // the raw edge table is shuffled exactly once before superstep 1.
     val agg = if (config.weighted) Aggregation.Sum else Aggregation.Count
-    val edges = graph.aggregated(config.orientation, agg).cutLineage()
+    val edges = graph.pregelEdges(config.orientation, agg)
 
     val degCol = if (config.weighted) "wdeg" else "deg"
     val degrees = graph.nodes.select(col("id"))
@@ -90,7 +91,8 @@ object PageRank {
           col(degCol) > 0.0).as(ACTIVE),
         // converged when NO node moved more than tolerance this superstep
         (lit(d) * coalesce(col(MSG), lit(0.0)) > config.tolerance).as(CHANGED)),
-      config = config.pregel.copy(maxIterations = config.maxIterations))
+      config = config.pregel.copy(maxIterations = config.maxIterations,
+        edgesPrepared = true))
     result
   }
 }

@@ -39,8 +39,10 @@ object ShortestPaths {
   private final case class Ctx(edges: DataFrame, nodes: DataFrame, bigWork: Boolean)
 
   private def prepare(graph: PropertyGraph, orientation: Orientation): Ctx = {
-    val e = graph.aggregated(orientation, Aggregation.Min)
-      .repartition(col("src")).localCheckpoint(true)
+    // prepared layout (PropertyGraph.pregelEdges): min-aggregated edges in
+    // one shuffle, sorted within hash(src) partitions so no spur/iteration
+    // join re-sorts the big side; exclusion filters preserve both.
+    val e = graph.pregelEdges(orientation, Aggregation.Min)
     val n = graph.nodes.select(col("id"))
     Ctx(e, n, e.count() >= Lineage.aqeOffMinEdges(graph.spark))
   }
@@ -58,7 +60,10 @@ object ShortestPaths {
       target: Option[Long] = None,
       heuristic: Option[DataFrame] = None,
       maxIterations: Int = 100): DataFrame = {
-    val edgesPart = edges.repartition(col("src")).localCheckpoint(true)
+    val edgesPart = Lineage.withFastIteration(nodes.sparkSession, enabled = true) {
+      edges.repartition(col("src")).sortWithinPartitions("src")
+        .localCheckpoint(true)
+    }
     val big = edgesPart.count() >= Lineage.aqeOffMinEdges(nodes.sparkSession)
     relaxCore(Ctx(edgesPart, nodes, big), Set.empty, Set.empty,
       source, target, heuristic, maxIterations)

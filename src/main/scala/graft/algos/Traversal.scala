@@ -23,7 +23,10 @@ object Traversal {
       maxDepth: Int = 50,
       pregel: PregelConfig = PregelConfig()): DataFrame = {
     import Pregel._
-    val edges = graph.oriented(orientation)
+    // connectivity only: parallel edges send identical messages, weight is
+    // never read — prepared 16-byte-row layout (PropertyGraph.pregelEdges)
+    val edges = graph.pregelEdges(orientation, Aggregation.Count,
+      withWeight = false)
     val initial = graph.nodes.select(
       col("id"),
       when(col("id") === source, 0L).otherwise(lit(Long.MaxValue)).as("level"),
@@ -41,7 +44,7 @@ object Traversal {
         (coalesce(col(MSG), col("level")) < col("level")).as(ACTIVE),
         (coalesce(col(MSG), col("level")) < col("level")).as(CHANGED),
         lit(0.0).as(DELTA)),
-      config = pregel.copy(maxIterations = maxDepth))
+      config = pregel.copy(maxIterations = maxDepth, edgesPrepared = true))
 
     result.vertices.select(col("id"),
       when(col("level") === Long.MaxValue, -1L).otherwise(col("level")).as("level"))
@@ -58,7 +61,9 @@ object Traversal {
       maxIterations: Int = 100,
       pregel: PregelConfig = PregelConfig()): DataFrame = {
     import Pregel._
-    val edges = graph.oriented(orientation)
+    // min-aggregated prepared layout: identical relaxation results (the
+    // combiner already folds parallel edges by min), one shuffle up front
+    val edges = graph.pregelEdges(orientation, Aggregation.Min)
     val initial = graph.nodes.select(
       col("id"),
       when(col("id") === source, 0.0).otherwise(lit(Double.PositiveInfinity)).as("dist"),
@@ -76,7 +81,7 @@ object Traversal {
         (coalesce(col(MSG), col("dist")) < col("dist")).as(ACTIVE),
         (coalesce(col(MSG), col("dist")) < col("dist")).as(CHANGED),
         lit(0.0).as(DELTA)),
-      config = pregel.copy(maxIterations = maxIterations))
+      config = pregel.copy(maxIterations = maxIterations, edgesPrepared = true))
 
     result.vertices.select(col("id"), col("dist").as("distance"))
   }
@@ -96,9 +101,12 @@ object Traversal {
       orientation: Orientation = Orientation.Natural,
       maxBuckets: Int = 1000): DataFrame = {
     require(delta > 0.0, "delta must be positive")
-    val all = graph.aggregated(orientation, Aggregation.Min).cutLineage()
-    val light = all.where(col("weight") <= delta).cutLineage()
-    val heavy = all.where(col("weight") > delta).cutLineage()
+    // one prepared layout (hash(src)-partitioned, sorted, checkpointed);
+    // the light/heavy splits are FILTERS on top — they inherit the layout,
+    // so every bucket relaxation joins exchange- and sort-free.
+    val all = graph.pregelEdges(orientation, Aggregation.Min)
+    val light = all.where(col("weight") <= delta)
+    val heavy = all.where(col("weight") > delta)
 
     def relax(state: DataFrame, frontier: DataFrame, edges: DataFrame): DataFrame = {
       val msgs = edges
@@ -162,8 +170,8 @@ object Traversal {
       maxIterations: Int = 50): DataFrame = {
     val srcs = sources.getOrElse(graph.nodes.select(col("id")))
     if (!weighted) {
-      val edges = graph.aggregated(orientation, Aggregation.Count)
-        .select(col("src"), col("dst")).cutLineage()
+      val edges = graph.pregelEdges(orientation, Aggregation.Count,
+        withWeight = false)
       var reachedLevels = scala.collection.mutable.ArrayBuffer[DataFrame]()
       var frontier = srcs.select(col("id").as("s"), col("id").as("v"), lit(0L).as("d"))
         .cutLineage()
@@ -185,7 +193,7 @@ object Traversal {
         .select(col("s").as("source"), col("v").as("target"),
           col("d").cast("double").as("distance"))
     } else {
-      val edges = graph.aggregated(orientation, Aggregation.Min).cutLineage()
+      val edges = graph.pregelEdges(orientation, Aggregation.Min)
       // batched Bellman-Ford on (s, v) pairs
       var state = srcs.select(col("id").as("s"), col("id").as("v"), lit(0.0).as("d"))
         .withColumn("updated", lit(true)).cutLineage()

@@ -51,8 +51,12 @@ object Wcc {
       case Some(t) => graph.copy(edges = graph.edges.where(col("weight") > t))
       case None    => graph
     }
-    // undirected + distinct: parallel edges add nothing to connectivity.
-    val edges = base.aggregated(Orientation.Undirected, Aggregation.Count)
+    // undirected + distinct: parallel edges add nothing to connectivity —
+    // and neither does the weight column, so the prepared layout drops it
+    // (withWeight=false): ONE 16-byte-row shuffle builds the sorted
+    // CSR-style frame every superstep joins against without re-sorting.
+    val edges = base.pregelEdges(Orientation.Undirected, Aggregation.Count,
+      withWeight = false)
 
     val initLabel = config.seedProperty match {
       case Some(p) => col(p).cast("long")
@@ -75,7 +79,8 @@ object Wcc {
         (coalesce(col(MSG), col("component")) < col("component")).as(ACTIVE),
         (coalesce(col(MSG), col("component")) < col("component")).as(CHANGED),
         lit(0.0).as(DELTA)),
-      config = config.pregel.copy(maxIterations = config.maxIterations))
+      config = config.pregel.copy(maxIterations = config.maxIterations,
+        edgesPrepared = true))
 
     val comps = result.vertices.select(col("id"), col("component"))
     (if (config.consecutiveIds) consecutive(comps) else comps, result)

@@ -95,6 +95,52 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     }
   }
 
+  /**
+   * The superstep-ready edge layout — the Spark expression of the north
+   * star's "per-partition CSR-style sorted adjacency arrays with explicit
+   * hash partitioning": ONE shuffle onto hash(src), parallel-edge
+   * aggregation executed partition-locally (hash(src) satisfies the
+   * (src,dst) clustering, so Catalyst plans no second exchange), rows
+   * sorted by (src,dst) inside each partition, materialized once via
+   * localCheckpoint — which preserves BOTH the partitioning and the
+   * ordering on the resulting LogicalRDD. Every superstep's
+   * edges⋈frontier sort-merge join then needs neither an exchange nor a
+   * sort on the (large, static) edge side; previously each superstep
+   * re-shuffled (via aggregated → Pregel's own repartition, two full
+   * shuffles of setup) and re-SORTED the full edge frame inside the join.
+   *
+   * Hand the result to [[graft.core.Pregel.run]] with
+   * `PregelConfig.edgesPrepared = true`; Pregel releases the checkpoint
+   * blocks when the loop ends, so don't reuse the frame after the run.
+   *
+   * @param withWeight false drops the weight column entirely —
+   *        connectivity algorithms (WCC) never read it, and the
+   *        checkpointed rows shrink from 24 to 16 bytes, cutting the
+   *        bandwidth of the one shuffle AND of every superstep's scan
+   */
+  def pregelEdges(orientation: Orientation, aggregation: Aggregation,
+      withWeight: Boolean = true): DataFrame = {
+    val cols = if (withWeight) Seq(col("src"), col("dst"), col("weight"))
+               else Seq(col("src"), col("dst"))
+    val shuffled = oriented(orientation).select(cols: _*).repartition(col("src"))
+    val flat = (aggregation, withWeight) match {
+      case (Aggregation.None, _) => shuffled
+      case (_, false)            => shuffled.distinct()
+      case (a, true) => shuffled.groupBy(col("src"), col("dst"))
+        .agg(a.agg(col("weight")).cast("double").as("weight"))
+    }
+    // The eager materialization MUST run with AQE disabled: an eager
+    // localCheckpoint under AQE snapshots the partitioning of the
+    // not-yet-finalized adaptive plan — UnknownPartitioning — and the
+    // whole point of this layout (exchange-free, sort-free superstep
+    // joins) is silently lost. Measured: with AQE on at checkpoint time
+    // the captured partitioning is UnknownPartitioning(0); with it off,
+    // hashpartitioning(src) + [src ASC, dst ASC] both survive.
+    Lineage.withFastIteration(spark, enabled = true) {
+      flat.sortWithinPartitions("src", "dst").localCheckpoint(true)
+    }
+  }
+
   /** (id, degree) under an orientation; vertices with no edges get 0.
    *  Reference: Degrees interface on Graph.java; used for PageRank scatter. */
   def degrees(orientation: Orientation = Orientation.Natural): DataFrame = {

@@ -27,13 +27,20 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
  *                        dir is configured)
  * @param stopAfter       test hook: abort the loop after superstep k as if
  *                        the job died (used by resume tests)
+ * @param edgesPrepared   the caller already shaped the edge frame via
+ *                        [[PropertyGraph.pregelEdges]] (hash(src)-
+ *                        partitioned, sorted within partitions,
+ *                        checkpointed) — skip the engine's own
+ *                        repartition+sort+checkpoint, avoiding a second
+ *                        full shuffle and materialization of the edges
  */
 final case class PregelConfig(
     maxIterations: Int = 20,
     checkpointDir: Option[String] = None,
     checkpointEvery: Int = 1,
     trackMetrics: Boolean = false, // forced on whenever checkpointDir is set
-    stopAfter: Option[Int] = None)
+    stopAfter: Option[Int] = None,
+    edgesPrepared: Boolean = false)
 
 /** One superstep's lineage record (north rule: "every superstep writes
  *  per-partition lineage and metrics — messages sent, delta norm, skew
@@ -120,12 +127,25 @@ object Pregel {
     val ckpt = config.checkpointDir.map(new CheckpointManager(_))
 
     // Hash-partition the (large, static) edge relation by the join key
-    // ONCE; localCheckpoint (NOT cutLineage — it must keep its hash
-    // partitioning, and a once-carried stat can't grow) lets every
-    // superstep's edges⋈vertices join reuse the layout, so only the
-    // (small) vertex side shuffles. This is the per-superstep
-    // shuffle-minimization the north rule calls out.
-    val edgesPart = edges.repartition(col("src")).localCheckpoint(true)
+    // ONCE and sort it by src INSIDE each partition; localCheckpoint (NOT
+    // cutLineage — it must keep the partitioning and ordering, and a
+    // once-carried stat can't grow) lets every superstep's edges⋈vertices
+    // sort-merge join reuse BOTH: no exchange and no re-sort of the big
+    // side per superstep (the re-sort was measured at ~60% of a WCC
+    // superstep's wall on the 46 M-edge scaling graph). This is the
+    // per-superstep shuffle-minimization the north rule calls out.
+    // `edgesPrepared` callers did this themselves via pregelEdges —
+    // folding the parallel-edge aggregation into the same single shuffle.
+    // AQE must be OFF while the eager checkpoint materializes, or the
+    // LogicalRDD snapshots the unfinalized adaptive plan's partitioning —
+    // UnknownPartitioning — and every superstep silently re-shuffles AND
+    // re-sorts the full edge frame (see PropertyGraph.pregelEdges).
+    val edgesPart =
+      if (config.edgesPrepared) edges
+      else Lineage.withFastIteration(spark, enabled = true) {
+        edges.repartition(col("src")).sortWithinPartitions("src")
+          .localCheckpoint(true)
+      }
     // AQE off only when the superstep frame is big enough that broadcast
     // conversion can't apply and re-planning latency dominates (measured
     // both ways — see Lineage.withFastIteration scaladoc). The count scans

@@ -48,7 +48,10 @@ object FastRP {
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
     val dim = config.embeddingSize
     val vcols = (0 until dim).map(j => s"v$j")
-    val edges = graph.aggregated(config.orientation, Aggregation.Sum).cutLineage()
+    // prepared layout: the 3 propagation iterations join on src against
+    // the same hash(src)-partitioned sorted frame; the degree aggregation
+    // below is partition-local on it (PropertyGraph.pregelEdges).
+    val edges = graph.pregelEdges(config.orientation, Aggregation.Sum)
     val deg = graph.nodes.select(col("id"))
       .join(edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
         Seq("id"), "left_outer")
