@@ -26,10 +26,14 @@ object K1Coloring {
     runImpl(graph, config)
 
   private def runImpl(graph: PropertyGraph, config: Config): DataFrame = {
-    // undirected distinct neighbor relation
-    val eu = graph.oriented(Orientation.Undirected)
-      .select(col("src"), col("dst")).where(col("src") =!= col("dst")).distinct()
-      .cutLineage()
+    // undirected distinct neighbor relation, prepared by src (hash + sort
+    // + AQE-off checkpoint — PropertyGraph.pregelEdges): both per-round
+    // chains (gather, conflict validation) START with a join on src, so
+    // the big edge side never re-shuffles or re-sorts across rounds. The
+    // self-loop filter on top preserves the layout.
+    val eu = graph.pregelEdges(Orientation.Undirected, Aggregation.Count,
+        withWeight = false)
+      .where(col("src") =!= col("dst"))
 
     var colors = graph.nodes.select(col("id"), lit(0L).as("color"),
       lit(true).as("queued")).cutLineage()

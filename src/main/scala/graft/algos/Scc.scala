@@ -100,10 +100,17 @@ object Scc {
         // phase 1: forward max-(priority, id) fixpoint on the unassigned
         // subgraph. The struct max is a total order (hash ties broken by
         // id), so the fixpoint is deterministic under any parallelism.
-        val sub = fwd
-          .join(unassigned.withColumnRenamed("id", "src"), Seq("src"))
-          .join(unassigned.withColumnRenamed("id", "dst"), Seq("dst"))
-          .cutLineage()
+        // Prepared layout (hash(src) + sorted, AQE-off checkpoint — see
+        // PropertyGraph.pregelEdges): the fixpoint joins on src every
+        // iteration, so neither exchange nor sort recurs on the edge side.
+        val spark = graph.nodes.sparkSession
+        val sub = Lineage.withFastIteration(spark, enabled = true) {
+          fwd
+            .join(unassigned.withColumnRenamed("id", "src"), Seq("src"))
+            .join(unassigned.withColumnRenamed("id", "dst"), Seq("dst"))
+            .repartition(col("src")).sortWithinPartitions("src")
+            .localCheckpoint(true)
+        }
 
         val ownColor = struct(xxhash64(col("id")).as("prio"), col("id").as("cid"))
         var colors = unassigned.select(col("id"), ownColor.as("color"))
@@ -122,12 +129,20 @@ object Scc {
           colors = next.drop("ch")
         }
 
-        // phase 2: backward reachability of each color root within its class
+        // phase 2: backward reachability of each color root within its
+        // class. The reversed subgraph suffices (member and the color
+        // filter both stay inside the unassigned set), prepared the same
+        // way since this loop also joins on src every iteration.
+        val subBwd = Lineage.withFastIteration(spark, enabled = true) {
+          sub.select(col("dst").as("src"), col("src").as("dst"))
+            .repartition(col("src")).sortWithinPartitions("src")
+            .localCheckpoint(true)
+        }
         var member = colors.where(col("id") === col("color")("cid"))
           .select(col("id"), col("color")).cutLineage()
         var grew = 1L
         while (grew > 0) {
-          val expand = bwd
+          val expand = subBwd
             .join(member.select(col("id").as("src"), col("color")), Seq("src"))
             .select(col("dst").as("id"), col("color"))
             .join(colors, Seq("id", "color")) // stay within the color class
@@ -136,6 +151,8 @@ object Scc {
           grew = next.count() - member.count()
           member = next
         }
+        Lineage.release(sub)
+        Lineage.release(subBwd)
 
         // output contract: component = max member id of the SCC
         val label = member.groupBy(col("color"))
