@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in 8g (BENCH_r02's louvain ran 4× slower than the same build at 48g —
   // the driver's bench env does not set SPARK_DRIVER_MEM).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+  // 10-23s G1 pauses at high parallelism showed up as fake anti-scaling in
+  // the 2->8 grids (a single-JVM local-mode artifact: allocation rate grows
+  // with cores while the shared heap doesn't; real clusters have per-executor
+  // heaps). SPARK_JVM_EXTRA lets benches pin GC flags without a rebuild.
+) ++ sys.env.get("SPARK_JVM_EXTRA").map(_.trim.split("\\s+").toSeq).getOrElse(Seq.empty)
