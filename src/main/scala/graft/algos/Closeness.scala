@@ -81,18 +81,31 @@ object Closeness {
         val contrib = newBits
           .groupBy("id")
           .agg(sum(expr("bit_count(mask)")).cast("long").as("cnt"))
-        acc = acc.join(contrib, Seq("id"), "left_outer")
+        val accNew = acc.join(contrib, Seq("id"), "left_outer")
           .select(col("id"),
             (col("farness") + coalesce(col("cnt"), lit(0L)) * d).as("farness"),
             (col("harmonic") + coalesce(col("cnt"), lit(0L)) / d).as("harmonic"),
             (col("reached") + coalesce(col("cnt"), lit(0L))).as("reached"))
           .cutLineage()
-        visited = visited.unionByName(newBits)
+        val visitedNew = visited.unionByName(newBits)
           .groupBy("id", "batch").agg(expr("bit_or(mask)").as("mask"))
           .cutLineage()
+        // superseded wave frames (on wave 1, visited aliases frontier —
+        // the double unpersist is a no-op)
+        Lineage.release(acc)
+        Lineage.release(visited)
+        Lineage.release(frontier)
+        acc = accNew
+        visited = visitedNew
         frontier = newBits
+      } else {
+        Lineage.release(newBits)
       }
     }
+    // acc is the (checkpointed) result; everything else can go.
+    Lineage.release(visited)
+    Lineage.release(frontier)
+    Lineage.release(edges)
 
     val closeness =
       if (config.wassermanFaust)

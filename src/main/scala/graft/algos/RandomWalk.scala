@@ -116,6 +116,8 @@ object RandomWalk {
       Lineage.release(walks)
       walks = next
     }
+    // walks is checkpointed; the prepared adjacency's blocks can go.
+    Lineage.release(adj)
     walks.select(col("walkId"), col("start"), col("path"))
   }
 

@@ -62,11 +62,18 @@ object Scc {
     var result = graph.nodes.sparkSession.emptyDataFrame
     var first = true
     def addAssigned(assigned: DataFrame): Unit = {
-      result = if (first) assigned.cutLineage()
-               else result.unionByName(assigned).cutLineage()
-      first = false
-      unassigned = unassigned.join(assigned.select(col("id")), Seq("id"), "left_anti")
+      val resultNew = if (first) assigned.cutLineage()
+                      else result.unionByName(assigned).cutLineage()
+      val unassignedNew = unassigned
+        .join(assigned.select(col("id")), Seq("id"), "left_anti")
         .cutLineage()
+      // both new frames are materialized; the superseded ones can go
+      // (release is a no-op on the initial non-checkpointed frames)
+      Lineage.release(result)
+      Lineage.release(unassigned)
+      result = resultNew
+      first = false
+      unassigned = unassignedNew
     }
 
     var outer = 0
@@ -91,6 +98,8 @@ object Scc {
           addAssigned(trivial.select(col("id"), col("id").as("component")))
           remaining -= peeled
         }
+        // addAssigned checkpointed everything derived from it
+        Lineage.release(trivial)
         peel += 1
       }
       if (remaining <= 0) {
@@ -126,6 +135,7 @@ object Scc {
               (coalesce(col("nc"), col("color")) > col("color")).as("ch"))
             .cutLineage()
           changed = next.where(col("ch")).count()
+          Lineage.release(colors)
           colors = next.drop("ch")
         }
 
@@ -149,6 +159,7 @@ object Scc {
             .distinct()
           val next = member.unionByName(expand).distinct().cutLineage()
           grew = next.count() - member.count()
+          Lineage.release(member)
           member = next
         }
         Lineage.release(sub)
@@ -160,6 +171,10 @@ object Scc {
         val assigned = member.join(label, Seq("color"))
           .select(col("id"), col("component"))
         addAssigned(assigned)
+        // result/unassigned are re-checkpointed; this round's working
+        // frames can go
+        Lineage.release(colors)
+        Lineage.release(member)
         remaining = unassigned.count()
       }
     }
@@ -167,6 +182,9 @@ object Scc {
       throw new IllegalStateException(
         s"SCC did not converge within ${config.maxOuterIterations} outer rounds; " +
           s"$remaining vertices unassigned")
+    // result is checkpointed and handed to the caller; the rest can go
+    Lineage.release(fwd)
+    Lineage.release(unassigned)
     (result, outer)
   }
 }

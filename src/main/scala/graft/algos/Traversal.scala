@@ -134,13 +134,19 @@ object Traversal {
       var frontier = state.where(inBucket)
       var frontierCount = frontier.count()
       while (frontierCount > 0) {
-        state = relax(state, frontier, light)
+        val next = relax(state, frontier, light)
+        Lineage.release(state)
+        state = next
         frontier = state.where(col("updated") && inBucket)
         frontierCount = frontier.count()
       }
       // one heavy relaxation from the settled bucket
       val settled = state.where(inBucket)
-      if (settled.limit(1).count() > 0) state = relax(state, settled, heavy)
+      if (settled.limit(1).count() > 0) {
+        val next = relax(state, settled, heavy)
+        Lineage.release(state)
+        state = next
+      }
       // next non-empty bucket (skip gaps in one action)
       val nextRow = state
         .where(col("dist") =!= Double.PositiveInfinity &&
@@ -149,6 +155,8 @@ object Traversal {
       if (nextRow.isNullAt(0)) more = false
       else k = nextRow.getLong(0).toInt
     }
+    // state is checkpointed; the prepared edge layout's blocks can go.
+    Lineage.release(all)
     state.select(col("id"), col("dist").as("distance"))
   }
 
@@ -189,6 +197,8 @@ object Traversal {
         n = next.count()
         if (n > 0) { reachedLevels += next; frontier = next; depth += 1 }
       }
+      // every level is checkpointed; the prepared edge layout can go.
+      Lineage.release(edges)
       reachedLevels.reduce(_ unionByName _)
         .select(col("s").as("source"), col("v").as("target"),
           col("d").cast("double").as("distance"))
@@ -205,16 +215,19 @@ object Traversal {
             .select(col("v").as("src"), col("s"), col("d").as("sd")), Seq("src"))
           .groupBy(col("s"), col("dst").as("v"))
           .agg(min(col("sd") + col("weight")).as("nd"))
-        state = state.join(msgs, Seq("s", "v"), "full_outer")
+        val next = state.join(msgs, Seq("s", "v"), "full_outer")
           .select(col("s"), col("v"),
             least(coalesce(col("d"), lit(Double.PositiveInfinity)),
               coalesce(col("nd"), lit(Double.PositiveInfinity))).as("d"),
             (coalesce(col("nd"), lit(Double.PositiveInfinity)) <
               coalesce(col("d"), lit(Double.PositiveInfinity))).as("updated"))
           .cutLineage()
+        Lineage.release(state)
+        state = next
         changed = state.where(col("updated")).count()
         iter += 1
       }
+      Lineage.release(edges)
       state.select(col("s").as("source"), col("v").as("target"),
         col("d").as("distance"))
     }

@@ -111,6 +111,9 @@ object FastRP {
         .agg(sum(vcols.head).as(vcols.head),
           vcols.tail.map(c => sum(col(c)).as(c)): _*)
 
+    // every per-iteration embedding is checkpointed (accParts read those,
+    // not the edge frame), so the prepared edge layout's blocks can go.
+    Lineage.release(edges)
     // every node gets a dim-length vector; absent rows are all-zero
     graph.nodes.select(col("id")).join(acc, Seq("id"), "left_outer")
       .select(col("id"),
