@@ -1,7 +1,7 @@
 package graft.algos
 
 import graft.core._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
  * (ValidationStep.java:27). We deterministically keep the smaller-id
  * endpoint, so the fixpoint is independent of partitioning.
  *
- * Spark plan per round: neighbor-color join → collect_set per node →
- * min-free-color via built-in HOFs (sequence/filter/array_min — no UDF) →
- * conflict self-join on equal colors.
+ * Spark plan per round: one neighbor join → per-node aggregation of
+ * (settled-neighbor colors, rank among queued neighbors) → rank-th free
+ * color via built-in HOFs (sequence/filter/get — no UDF) → conflict
+ * self-join on equal colors.
  */
 object K1Coloring {
 
@@ -41,16 +42,40 @@ object K1Coloring {
     var iter = 0
     var queued = 1L
     while (queued > 0 && iter < config.maxIterations) {
-      // queued nodes gather neighbor colors and take the min free color.
+      val tRound = System.nanoTime()
+      // Queued nodes gather their SETTLED neighbors' colors as the
+      // forbidden set, then take the rank-th free color, where rank =
+      // this node's position among its QUEUED neighbors ordered by
+      // xxhash64(id, round). Plain min-free-color thrashes on cliques
+      // under BSP: every queued member picks the same min color each
+      // round and the validation pass settles exactly ONE of them —
+      // linear rounds in the clique size (measured: 35 rounds, ~5 nodes
+      // settled/round on the 200-node gate graph; 4 rounds with ranked
+      // picks). Ranked picks give clique members pairwise-distinct colors
+      // in a single round (a Jones-Plassmann-style multi-color step); any
+      // residual cross-neighborhood collision is caught by the validation
+      // pass, which is what guarantees a proper coloring in either scheme.
+      def h(c: Column) = xxhash64(c, lit(iter))
       val nbrColors = eu
-        .join(colors.select(col("id").as("src"), col("queued")), Seq("src"))
-        .where(col("queued"))
-        .join(colors.select(col("id").as("dst"), col("color").as("nc")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(array_sort(collect_set(col("nc"))).as("ncs"))
-        .select(col("id"),
-          array_min(filter(sequence(lit(0L), size(col("ncs")).cast("long")),
-            x => !array_contains(col("ncs"), x))).as("newColor"))
+        .join(colors.select(col("id").as("src"), col("queued").as("qs")), Seq("src"))
+        .where(col("qs"))
+        .join(colors.select(col("id").as("dst"), col("color").as("nc"),
+          col("queued").as("qd")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(
+          // forbidden = SETTLED neighbor colors only (queued neighbors'
+          // colors are provisional; excluding them inflates the palette)
+          array_sort(collect_set(when(!col("qd"), col("nc")))).as("ncs"),
+          sum(when(col("qd") && (h(col("dst")) < h(col("src")) ||
+              (h(col("dst")) === h(col("src")) && col("dst") < col("src"))), 1L)
+            .otherwise(0L)).as("rank"))
+        .select(col("src").as("id"),
+          get(
+            filter(
+              sequence(lit(0L),
+                size(col("ncs")).cast("long") + col("rank") + 1L),
+              x => !array_contains(col("ncs"), x)),
+            col("rank").cast("int")).as("newColor"))
 
       val recolored = colors.join(nbrColors, Seq("id"), "left_outer")
         .select(col("id"),
@@ -78,7 +103,11 @@ object K1Coloring {
 
       queued = Option(obs.get("q")).map(_.asInstanceOf[Long]).getOrElse(0L)
       iter += 1
+      System.err.println(f"[k1coloring] round $iter: " +
+        f"${(System.nanoTime() - tRound) / 1e9}%.2fs queued=$queued")
     }
+    // colors is checkpointed, so the prepared edge frame's blocks can go.
+    Lineage.release(eu)
     colors.select(col("id"), col("color"))
   }
 }
