@@ -51,24 +51,39 @@ object Bench {
       graft.queries.GraphQueries.simpleGraph(spark, sfDir)._1.edges.count()
       (System.nanoTime() - t) / 1e6
     } catch { case _: Throwable => -1.0 }
+    // Process CPU seconds (all local[k] executor threads run in this JVM,
+    // so this is the whole query's compute). Wall time on a shared host
+    // includes neighbor contention; the wall/CPU pair makes a slow query
+    // attributable from the artifact alone: CPU up = the plan got more
+    // expensive, wall up at flat CPU = the host was busy.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSec(): Double = osBean.getProcessCpuTime / 1e9
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val c0 = cpuSec()
       val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      val cpu = cpuSec() - c0
       // Release this query's result/checkpoint blocks — across ~50 queries
       // they otherwise fill storage memory and evict the shared caches
       // (the r3 full-run 10-30× degradation).
       val released = CacheHygiene.releaseAllExcept(spark, keep)
       val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-      System.err.println(f"[bench] $name: $sec%.1fs ($n rows, aqe=$aqe, " +
+      System.err.println(f"[bench] $name: $sec%.1fs cpu=$cpu%.1fs ($n rows, aqe=$aqe, " +
         f"released=$released, ${CacheHygiene.storageLine(spark, keep)}, canary=${canaryMs()}%.0fms)")
-      name -> sec
+      (name, sec, cpu)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cs = results.map { case (k, _, c) => s"\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val totalCpu = results.map(_._3).sum
+    val loadAvg = osBean.getSystemLoadAverage
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpuSeconds":$cs,"totalCpuSec":${f"$totalCpu%.1f"},"loadAvgEnd":${f"$loadAvg%.1f"},""" +
       s""""warmupSec":$warmupSec,"cpus":$cpus,"maxHeapMiB":$maxHeapMiB,"sf":"$sfDir"}"""
     // stdout (unprefixed: build.sbt sets run/outputStrategy := StdoutOutput so
     // sbt does not wrap forked output in "[info] ") + a known file path, so

@@ -101,8 +101,12 @@ object TriangleCount {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
       // sorted adjacency in the degree order (reference CSR sortedness).
-      val adj = directed.groupBy(col("src").as("id"))
-        .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      // directed and adj are each consumed by MULTIPLE exchanges below
+      // (two broadcasts + the probe side); without persist every exchange
+      // re-derives them — measured 3× ~50 CPU-s at 2.9 M edges.
+      val directedP = directed.persist()
+      val adj = directedP.groupBy(col("src").as("id"))
+        .agg(sort_array(collect_set(col("dst"))).as("nbrs")).persist()
 
       // wedge close: for edge (s,t), common out-neighbors complete triangles.
       val aS = bcast(adj.select(col("id").as("src"), col("nbrs").as("nsrc")))
@@ -110,7 +114,7 @@ object TriangleCount {
       // sorted-merge intersect (codegen'd two-pointer loop) — the arrays
       // are ascending by construction; the generic array_intersect would
       // hash one side per row (see graft.functions.SortedIntersect).
-      val tris = directed
+      val tris = directedP
         .join(aS, Seq("src"))
         .join(aT, Seq("dst"))
         .select(col("src"), col("dst"),
@@ -119,23 +123,30 @@ object TriangleCount {
         .where(size(col("common")) > 0)
 
       // corners: src and dst credit |common| each; every member of common
-      // credits 1. Output-linear in the number of triangles. Emitted in
-      // ONE pass — a three-branch union would re-run the wedge-close join
-      // per branch (the `common` arrays never survive to a later stage;
-      // measured 3×35 s at 2.9M edges), so all three credit kinds ride a
-      // single explode over one array built in the same projection.
-      val corners = tris.select(explode(concat(
-          array(
-            struct(col("src").as("id"), size(col("common")).cast("long").as("t")),
-            struct(col("dst").as("id"), size(col("common")).cast("long").as("t"))),
-          transform(col("common"), m => struct(m.as("id"), lit(1L).as("t"))))).as("c"))
-        .select(col("c.id").as("id"), col("c.t").as("t"))
+      // credits 1. Output-linear in the number of triangles, in ONE pass —
+      // a three-branch union would re-run the wedge-close join per branch.
+      // The credit kinds ride one posexplode over one flat LONG array with
+      // the credit decided by position (pos 0/1 = the edge endpoints,
+      // credit |common|; pos ≥ 2 = the apex members, credit 1). Keeping
+      // `sz` alongside the generator forces `common` to materialize once
+      // in the projection below the Generate; HOF struct-building
+      // (transform → struct) or an inline generator child both drop to
+      // interpreted per-element evaluation — measured 604 / 649 CPU-s vs
+      // 60 CPU-s for this shape on 60 M triangles.
+      val corners = tris
+        .select(size(col("common")).cast("long").as("sz"),
+          posexplode(concat(array(col("src"), col("dst")), col("common"))))
+        .select(col("col").as("id"),
+          when(col("pos") < 2, col("sz")).otherwise(lit(1L)).as("t"))
 
       val counts = corners.groupBy("id").agg(sum("t").as("triangles"))
 
       val all = graph.nodes.select(col("id"))
         .join(counts, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .cutLineage()
+      directedP.unpersist()
+      adj.unpersist()
 
       config.maxDegree match {
         case Some(_) =>
