@@ -75,6 +75,7 @@ object SparkEntry {
     "random_walk_check" -> (G.randomWalkCheck _),
     "hyperball_check" -> (G.hyperballCheck _),
     "knn_recall" -> (P.knnRecall _),
+    "ivf_recall" -> (P.ivfRecall _),
     "ann_descent_recall" -> (P.annDescentRecall _),
     "louvain_check" -> (G.louvainCheck _),
     "yens_check" -> (G.yensCheck _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "dedup_simhash" -> (P.dedupSimhash _),
     "dedup_lsh_pairs" -> (P.dedupLshPairs _),
     "knn_lsh" -> (P.knnLsh _),
+    "ivf_topk" -> (P.ivfTopk _),
     "ann_nn_descent" -> (P.annNnDescent _),
     "multimodal_features" -> (P.multimodal _))
 
@@ -101,6 +103,7 @@ object SparkEntry {
     "multimodal_features", "multimodal_check",
     // pair-scale pipeline ops
     "knn_lsh", "similarity_proc", "dedup_lsh_pairs", "ann_cosine",
+    "ivf_topk", "ivf_recall",
     "ann_nn_descent", "ann_descent_recall", "dedup_ngram_pairs",
     "dedup_embedding", "dedup_embedding_canon", "dedup_embedding_check",
     // ingest + graph derivation (first of these pays the shared cache)

