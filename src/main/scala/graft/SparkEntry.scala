@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_embedding" -> (P.dedupEmbedding _),
     "dedup_embedding_canon" -> (P.dedupEmbeddingCanon _),
     "dedup_embedding_check" -> (P.dedupEmbeddingCheck _),
+    "video_frames" -> (P.videoFrames _),
     "astar" -> (G.astar _),
     "delta_stepping" -> (G.deltaStepping _),
     "one_hot" -> (G.oneHot _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "k1coloring_check" -> (G.k1coloringCheck _),
     "dfs_check" -> (G.dfsCheck _),
     "multimodal_check" -> (P.multimodalCheck _),
+    "video_frames_check" -> (P.videoFramesCheck _),
     "mst_check" -> (G.mstCheck _),
     "fastrp_check" -> (G.fastrpCheck _),
     "random_walk_check" -> (G.randomWalkCheck _),
@@ -101,6 +103,7 @@ object SparkEntry {
     "text_tokens", "lang_id", "text_quality", "dedup_exact",
     "doc_fingerprint", "dedup_minhash", "dedup_simhash", "simhash_check",
     "multimodal_features", "multimodal_check",
+    "video_frames", "video_frames_check",
     // pair-scale pipeline ops
     "knn_lsh", "similarity_proc", "dedup_lsh_pairs", "ann_cosine",
     "ivf_topk", "ivf_recall",

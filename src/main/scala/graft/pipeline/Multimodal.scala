@@ -16,10 +16,13 @@ import org.apache.spark.sql.types._
  * IHDR), `resize` re-encodes the payload's header in place, and
  * `extractFeatures` does REAL raster math over the BMP pixel bytes (mean
  * R/G/B + luminance histogram, stride-aware) — all as Column expressions,
- * no UDFs. Only video `sampleFrames` remains a deterministic fake,
- * clearly marked, because this container ships no video codecs; on a real
- * cluster that body becomes an `mapInArrow`/Pandas-UDF batch calling
- * ffmpeg with byte-bounded batches, and every plan shape stays identical.
+ * no UDFs. Video rides the GVID container (magic + frame count + frame
+ * size + back-to-back BMP frames): `sampleFrames` slices real frame bytes
+ * out by offset math and the sampled frames decode through the same
+ * raster path, so video → frames → features runs on real bytes end to
+ * end. What a codec would add (JPEG/H.264 entropy decode) is the one
+ * piece this container cannot ship; swapping the offset-slice for a
+ * `mapInArrow` batch calling ffmpeg keeps every plan shape identical.
  *
  * Scale notes: payload rows are fat — `repartitionByBytes` targets a fixed
  * number of payload bytes per task so executors don't OOM on 100 MB
@@ -65,10 +68,10 @@ object Multimodal {
    * text, so tests can round-trip header-encode → header-parse.
    * @return original columns + (payload: binary, media: struct)
    */
-  def synthesizePayloads(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = (pmod(xxhash64(col(textCol)), lit(1920)) + 32).cast("int")
-    val h = (pmod(xxhash64(col(textCol), lit(1)), lit(1080)) + 32).cast("int")
-    val pixels = to_binary(sha2(col(textCol), 512), lit("hex")) // 64 bytes
+  /** Minimal valid BMP as a binary Column: real 'BM' header with the given
+   *  dims, followed by the given pixel bytes. Shared by the image and
+   *  video-frame synthesizers. */
+  private def bmpBinary(w: Column, h: Column, pixels: Column): Column = {
     val fileSize = length(pixels) + BmpHeaderBytes
     val headerHex = concat(
       lit("424D"),            // 'BM'
@@ -84,7 +87,14 @@ object Multimodal {
       le32hex(length(pixels)),// image size
       lit("130B0000"), lit("130B0000"), // 2835 ppm ≈ 72 dpi
       lit("00000000"), lit("00000000")) // palette
-    df.withColumn("payload", concat(to_binary(headerHex, lit("hex")), pixels))
+    concat(to_binary(headerHex, lit("hex")), pixels)
+  }
+
+  def synthesizePayloads(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = (pmod(xxhash64(col(textCol)), lit(1920)) + 32).cast("int")
+    val h = (pmod(xxhash64(col(textCol), lit(1)), lit(1080)) + 32).cast("int")
+    val pixels = to_binary(sha2(col(textCol), 512), lit("hex")) // 64 bytes
+    df.withColumn("payload", bmpBinary(w, h, pixels))
       .withColumn("media", struct(
         lit("image").as("media_type"),
         lit("image/bmp").as("mime"),
@@ -92,6 +102,43 @@ object Multimodal {
         h.as("height"),
         lit(null).cast("int").as("sample_rate"),
         lit(null).cast("long").as("duration_ms")))
+  }
+
+  /** 'GVID' container magic (hex) + header layout: 4-byte magic, LE int32
+   *  frame count, LE int32 bytes-per-frame, then frameCount equal-size BMP
+   *  frames back to back. A deliberately trivial but REAL container: frame
+   *  extraction is pure offset math over the payload bytes, exactly the
+   *  shape a fixed-GOP MP4 demux has after the index is read. */
+  private val GvidMagicHex = "47564944"
+  private val GvidHeaderBytes = 12
+
+  /**
+   * Synthesize a video payload: a GVID container of `frames` minimal BMP
+   * frames (constant dims per doc, per-frame deterministic pixel bytes =
+   * sha512(text#f<k>)). duration_ms = frames / fps. Every frame is a
+   * standalone valid BMP, so `sampleFrames` output feeds straight into
+   * `imageDimensions` / `extractFeatures` — the full video → frames →
+   * features pipeline runs on real bytes end to end.
+   */
+  def synthesizeVideoPayloads(df: DataFrame, textCol: String = "text",
+      frames: Int = 8, fps: Int = 25): DataFrame = {
+    require(frames >= 1)
+    val w = (pmod(xxhash64(col(textCol)), lit(1920)) + 32).cast("int")
+    val h = (pmod(xxhash64(col(textCol), lit(1)), lit(1080)) + 32).cast("int")
+    def frameBin(k: Int): Column =
+      bmpBinary(w, h,
+        to_binary(sha2(concat(col(textCol), lit(s"#f$k")), 512), lit("hex")))
+    val frameBytes = BmpHeaderBytes + 64 // sha512 → 64 pixel bytes, constant
+    val header = to_binary(concat(lit(GvidMagicHex),
+      le32hex(lit(frames)), le32hex(lit(frameBytes))), lit("hex"))
+    df.withColumn("payload", concat(header +: (0 until frames).map(frameBin): _*))
+      .withColumn("media", struct(
+        lit("video").as("media_type"),
+        lit("video/x-gvid").as("mime"),
+        w.as("width"),
+        h.as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(frames * 1000L / fps).as("duration_ms")))
   }
 
   /**
@@ -217,14 +264,43 @@ object Multimodal {
       when(isBmp, feats).otherwise(lit(null).cast("array<double>")))
   }
 
-  /** STUB — frame sampling contract for video: emits `n` (frame_idx, ts_ms)
-   *  rows per payload; real impl decodes the frames. Output-linear. */
-  def sampleFrames(df: DataFrame, n: Int, idCol: String): DataFrame =
-    df.select(col(idCol), col("media"),
-        posexplode(sequence(lit(0), lit(n - 1))).as(Seq("frame_idx", "_")))
+  /**
+   * Frame sampling — REAL for GVID containers (de-stubbed r4, the last
+   * stub): `n` evenly-spaced source frames (idx = ⌊i·frameCount/n⌋) are
+   * sliced out of the payload by offset math and returned as standalone
+   * BMP payloads in the `frame` column, ready for `imageDimensions` /
+   * `extractFeatures`. ts_ms is the sampled frame's true timestamp
+   * (idx · duration / frameCount). Non-GVID payloads keep the schedule
+   * contract — n rows with interpolated timestamps — with a null frame
+   * (quarantine semantics, as imageDimensions). Output-linear: only the
+   * sampled frames' bytes survive the projection, so a 100 MB video row
+   * shrinks to n·frameBytes immediately after the scan; a codec'd
+   * container swaps the slice for a mapInArrow demux batch with the
+   * identical plan shape.
+   */
+  def sampleFrames(df: DataFrame, n: Int, idCol: String): DataFrame = {
+    val p = col("payload")
+    val isGvid = hex(substring(p, 1, 4)) === GvidMagicHex
+    df.select(col(idCol), col("media"), p.as("_p"),
+        isGvid.as("_g"),
+        when(isGvid, le32parse(substring(p, 5, 4))).as("_fc"),
+        when(isGvid, le32parse(substring(p, 9, 4))).as("_fb"),
+        explode(sequence(lit(0), lit(n - 1))).as("_i"))
+      .select(col(idCol),
+        when(col("_g"), floor(col("_i") * col("_fc") / n).cast("int"))
+          .otherwise(col("_i")).as("frame_idx"),
+        col("media"), col("_p"), col("_g"), col("_fc"), col("_fb"))
       .select(col(idCol), col("frame_idx"),
-        (col("frame_idx") * coalesce(col("media.duration_ms"), lit(40L * n)) / n)
-          .cast("long").as("ts_ms"))
+        when(col("_g"),
+            col("frame_idx") * col("media.duration_ms") / col("_fc"))
+          .otherwise(col("frame_idx") *
+            coalesce(col("media.duration_ms"), lit(40L * n)) / n)
+          .cast("long").as("ts_ms"),
+        when(col("_g"),
+            col("_p").substr(col("frame_idx") * col("_fb") + GvidHeaderBytes + 1,
+              col("_fb")))
+          .otherwise(lit(null).cast("binary")).as("frame"))
+  }
 
   /**
    * Partition payload rows so each task holds ≈`targetBytes` of payload —

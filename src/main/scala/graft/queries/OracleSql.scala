@@ -728,6 +728,23 @@ FROM reach"""
 SELECT CAST(count(*) AS BIGINT) AS docs, CAST(0 AS BIGINT) AS violations
 FROM documents"""
 
+  /** Value oracle (video_frames): the GVID sampling schedule is fully
+   *  portable — 6 frames / fps 25 / n=3 gives source indices ⌊i·6/3⌋ =
+   *  {0,2,4}, timestamps idx·40 ms, and constant 118-byte BMP frames
+   *  (54-byte header + 64 sha512 pixel bytes). */
+  val videoFrames: String = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(f * 40 AS BIGINT) AS ts_ms, CAST(118 AS BIGINT) AS frame_bytes
+FROM documents CROSS JOIN (VALUES (0), (2), (4)) t(f)"""
+
+  /** Property oracle (video_frames_check): every frame sliced out of the
+   *  GVID container decodes through the full raster feature path (11-dim
+   *  vector, unit histogram); Spark counts violations. */
+  val videoFramesCheck: String = """
+SELECT CAST(count(*) AS BIGINT) AS docs, CAST(3 * count(*) AS BIGINT) AS frames,
+       CAST(0 AS BIGINT) AS violations
+FROM documents"""
+
   /** Property oracle (knn_recall): LSH recall@5 vs the exact brute-force
    *  top-k must clear the 0.25 regression floor; Spark measures it. */
   val knnRecall: String = """
@@ -801,6 +818,8 @@ WHERE list_inner_product(a.e, b.e) /
     "yens_check" -> yensCheck,
     "knn_recall" -> knnRecall,
     "ivf_recall" -> ivfRecall,
+    "video_frames" -> videoFrames,
+    "video_frames_check" -> videoFramesCheck,
     "ann_descent_recall" -> annDescentRecall,
     "astar" -> astar,
     "delta_stepping" -> deltaStepping,

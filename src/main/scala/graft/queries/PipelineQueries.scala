@@ -292,6 +292,44 @@ object PipelineQueries {
   def multimodal(spark: SparkSession, dir: String): DataFrame =
     cachedMultimodal(spark, dir)
 
+  /** Shared by video_frames and video_frames_check (twins): GVID
+   *  containers synthesized at 6 BMP frames per document, 3 evenly-spaced
+   *  frames sliced back out by sampleFrames' offset math, each run
+   *  through the real raster feature path. */
+  private def cachedVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    GraphQueries.cachedResult(spark, s"video|$dir") {
+      val vids = Multimodal.synthesizeVideoPayloads(docs(spark, dir), frames = 6)
+      val fr = Multimodal.sampleFrames(vids, n = 3, idCol = "doc_id")
+      Multimodal.extractFeatures(fr, payloadCol = "frame")
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("ts_ms"), length(col("frame")).cast("long").as("frame_bytes"),
+          col("features"))
+    }
+
+  /** Value oracle surface for the frame-sampling math: with 6 frames at
+   *  fps 25 (duration 240 ms) and n = 3, the sampled indices are exactly
+   *  ⌊i·6/3⌋ = {0,2,4}, timestamps idx·40 ms, and every sliced frame is
+   *  the constant 118-byte BMP (54-byte header + 64 sha512 pixel bytes) —
+   *  all portable, so DuckDB recomputes the whole schedule. */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    cachedVideoFrames(spark, dir)
+      .select("doc_id", "frame_idx", "ts_ms", "frame_bytes")
+
+  /** Property oracle for the sliced frames' decodability: every sampled
+   *  frame must run the full raster feature path (11-dim vector, unit
+   *  histogram) — a broken slice offset or header would null the features
+   *  or break the histogram. The oracle pins docs, frames = 3·docs, and
+   *  zero violations. */
+  def videoFramesCheck(spark: SparkSession, dir: String): DataFrame = {
+    val m = cachedVideoFrames(spark, dir)
+    val histSum = aggregate(slice(col("features"), 4, 8), lit(0.0), _ + _)
+    val bad = m.where(col("features").isNull
+      .or(size(col("features")) =!= 11)
+      .or(abs(histSum - 1.0) > 1e-9)).count()
+    import spark.implicits._
+    Seq((m.count() / 3, m.count(), bad)).toDF("docs", "frames", "violations")
+  }
+
   /** Property oracle for the raster feature math: every document decodes
    *  to an 11-dim vector ([meanR,meanG,meanB] ++ 8-bin luminance
    *  histogram), channel means live in [0,255], and each histogram — a

@@ -228,8 +228,45 @@ class PipelineSpec extends SparkSpec {
     val resized = Multimodal.resize(withP, 256)
       .select(col("media.width"), col("media.height")).collect()
     resized.foreach { r => assert(r.getInt(0) <= 256 && r.getInt(1) <= 256) }
+    // non-GVID payloads keep the schedule contract with a null frame
     val frames = Multimodal.sampleFrames(withP, 4, "doc_id")
     assert(frames.count() == 8)
+    assert(frames.where(col("frame").isNotNull).count() == 0)
+  }
+
+  test("GVID video container: sampleFrames slices real BMP frames; " +
+      "each frame decodes through the raster feature path") {
+    val d = docs((1L, "clip one"), (2L, "clip two"))
+    val vids = Multimodal.synthesizeVideoPayloads(d, frames = 6, fps = 25)
+    assert(vids.select("media.duration_ms").head().getLong(0) == 240L)
+    val fr = Multimodal.sampleFrames(vids, 3, "doc_id")
+    val rows = fr.collect()
+    assert(rows.length == 6)
+    // every sliced frame is a standalone 118-byte BMP
+    rows.foreach { r =>
+      val frame = r.getAs[Array[Byte]]("frame")
+      assert(frame.length == 54 + 64)
+      assert(frame(0) == 'B'.toByte && frame(1) == 'M'.toByte)
+    }
+    // evenly-spaced source indices with the true timestamps
+    val sched = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sched == Set((1L, 0, 0L), (1L, 2, 80L), (1L, 4, 160L),
+      (2L, 0, 0L), (2L, 2, 80L), (2L, 4, 160L)))
+    // sliced frames parse to the video's dims via the real header decode
+    val dims = vids.select(col("doc_id"), col("media.width"), col("media.height"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    fr.select(col("doc_id"), Multimodal.imageDimensions(col("frame")).as("d"))
+      .collect().foreach { r =>
+        assert((r.getStruct(1).getInt(0), r.getStruct(1).getInt(1)) ==
+          dims(r.getLong(0)))
+      }
+    // and run the full raster feature math (11-dim, unit histogram)
+    val feats = Multimodal.extractFeatures(fr, payloadCol = "frame")
+      .select("features").collect().map(_.getSeq[Double](0))
+    feats.foreach(f => assert(f.size == 11 && math.abs(f.drop(3).sum - 1.0) < 1e-9))
+    // per-frame pixel salt: the three sampled frames differ
+    val f1 = rows.filter(_.getLong(0) == 1L).map(_.getAs[Array[Byte]]("frame").toSeq)
+    assert(f1.distinct.length == 3)
   }
 
   test("extractFeatures: hand-computed raster fixture (2x2 24bpp BMP, padded rows)") {
