@@ -101,12 +101,17 @@ object TriangleCount {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
       // sorted adjacency in the degree order (reference CSR sortedness).
-      // directed and adj are each consumed by MULTIPLE exchanges below
-      // (two broadcasts + the probe side); without persist every exchange
-      // re-derives them — measured 3× ~50 CPU-s at 2.9 M edges.
-      val directedP = directed.persist()
-      val adj = directedP.groupBy(col("src").as("id"))
-        .agg(sort_array(collect_set(col("dst"))).as("nbrs")).persist()
+      // UNDER the broadcast gate, directed and adj are each consumed by
+      // multiple exchanges below (two broadcasts + the probe side) and
+      // persisting them saves 3× ~50 CPU-s at 2.9 M edges. ABOVE the gate
+      // the wedge-close is shuffled sort-merge joins and the box is
+      // memory-bandwidth-bound: the cache's extra memory traffic measured
+      // 2× slower at local[8]/23 M edges (336 s vs 166 s median), so the
+      // at-scale path leaves sharing to Catalyst's ReusedExchange.
+      val directedP = if (smallEnough) directed.persist() else directed
+      val adj0 = directedP.groupBy(col("src").as("id"))
+        .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      val adj = if (smallEnough) adj0.persist() else adj0
 
       // wedge close: for edge (s,t), common out-neighbors complete triangles.
       val aS = bcast(adj.select(col("id").as("src"), col("nbrs").as("nsrc")))
@@ -145,8 +150,7 @@ object TriangleCount {
         .join(counts, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
         .cutLineage()
-      directedP.unpersist()
-      adj.unpersist()
+      if (smallEnough) { directedP.unpersist(); adj.unpersist(): Unit }
 
       config.maxDegree match {
         case Some(_) =>
