@@ -35,6 +35,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in 8g (BENCH_r02's louvain ran 4× slower than the same build at 48g —
   // the driver's bench env does not set SPARK_DRIVER_MEM).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Pin Xms = Xmx: the periodic System.gc() (ContextCleaner driver, see
+  // Bench.scala) otherwise SHRINKS the committed heap to ~4-6 GiB, and the
+  // next allocation-heavy query regrows it through a storm of young GCs
+  // (measured: 106 young pauses / 11.3 s STW over a 146 s six-query run,
+  // with per-query wall swinging 13->40 s run-to-run purely on GC state).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ... and make that System.gc() a CONCURRENT G1 cycle instead of a
+  // stop-the-world full collection (0.25-1.7 s pauses each, heap-shrink
+  // included): reference processing at remark still drives ContextCleaner.
+  "-XX:+ExplicitGCInvokesConcurrent",
   // 10-23s G1 pauses at high parallelism showed up as fake anti-scaling in
   // the 2->8 grids (a single-JVM local-mode artifact: allocation rate grows
   // with cores while the shared heap doesn't; real clusters have per-executor
