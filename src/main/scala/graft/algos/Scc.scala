@@ -53,10 +53,21 @@ object Scc {
   def runWithStats(graph: PropertyGraph, config: Config = Config()): (DataFrame, Int) =
     runImpl(graph, config)
 
+  /** Row gate for broadcasting node-sized frames into the edge-frame
+   *  joins. Inside the AQE-off fast-iteration scope, checkpointed frames
+   *  carry no stats, so Spark plans every node⋈edge join as sort-merge —
+   *  measured 50-100 CPU-s per layout pass at 2.9M edges. The loop
+   *  counters (remaining/changed/grew) give exact row counts for free;
+   *  ≤4M rows ≈ ≤128 MiB of (id, color-struct) broadcast. Above the gate
+   *  (the 10^12-file regime) the plan falls back to shuffled joins, the
+   *  only correct choice there. */
+  private val BroadcastMaxRows = 4L * 1000 * 1000
+
   private def runImpl(graph: PropertyGraph, config: Config): (DataFrame, Int) = {
+    def gate(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= BroadcastMaxRows) broadcast(df) else df
     val fwd = graph.edges.select(col("src"), col("dst")).distinct()
       .cutLineage()
-    val bwd = fwd.select(col("dst").as("src"), col("src").as("dst"))
 
     var unassigned = graph.nodes.select(col("id")).cutLineage()
     var result = graph.nodes.sparkSession.emptyDataFrame
@@ -78,6 +89,26 @@ object Scc {
 
     var outer = 0
     var remaining = unassigned.count()
+    val totalNodes = remaining
+    // the unassigned semijoins are identity while nothing has been
+    // assigned yet — skip them (round 1 dominates on cyclic graphs)
+    def induced(edges: DataFrame): DataFrame =
+      if (remaining == totalNodes) edges
+      else edges
+        .join(gate(unassigned.withColumnRenamed("id", "src"), remaining), Seq("src"))
+        .join(gate(unassigned.withColumnRenamed("id", "dst"), remaining), Seq("dst"))
+    def cpuNow(): Long = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => 0L
+    }
+    var lastCpu = cpuNow()
+    def logPhase(phase: String, startNs: Long, detail: String): Unit = {
+      val c = cpuNow()
+      // scalastyle:off println — same operator-diagnostic channel as [modopt]
+      println(f"[scc] outer=$outer $phase ${(System.nanoTime - startNs) / 1e9}%.1fs " +
+        f"cpu=${(c - lastCpu) / 1e9}%.1fs $detail")
+      lastCpu = c
+    }
     while (remaining > 0 && outer < config.maxOuterIterations) {
       outer += 1
 
@@ -85,10 +116,9 @@ object Scc {
       // in the unassigned subgraph. One join + one anti-join per peel.
       var peel = 0
       var peeled = 1L
+      val trimStart = System.nanoTime
       while (peeled > 0 && peel < config.trimRoundsPerOuter && remaining > 0) {
-        val sub = fwd
-          .join(unassigned.withColumnRenamed("id", "src"), Seq("src"))
-          .join(unassigned.withColumnRenamed("id", "dst"), Seq("dst"))
+        val sub = induced(fwd)
         val onCycleCandidate = sub.select(col("src").as("id"))
           .intersect(sub.select(col("dst").as("id")))
         val trivial = unassigned.join(onCycleCandidate, Seq("id"), "left_anti")
@@ -102,6 +132,7 @@ object Scc {
         Lineage.release(trivial)
         peel += 1
       }
+      logPhase("trim", trimStart, s"peels=$peel remaining=$remaining")
       if (remaining <= 0) {
         // trim finished the graph; outer round did no coloring work.
         outer -= 1
@@ -113,62 +144,103 @@ object Scc {
         // PropertyGraph.pregelEdges): the fixpoint joins on src every
         // iteration, so neither exchange nor sort recurs on the edge side.
         val spark = graph.nodes.sparkSession
+        val subStart = System.nanoTime
         val sub = Lineage.withFastIteration(spark, enabled = true) {
-          fwd
-            .join(unassigned.withColumnRenamed("id", "src"), Seq("src"))
-            .join(unassigned.withColumnRenamed("id", "dst"), Seq("dst"))
+          induced(fwd)
             .repartition(col("src")).sortWithinPartitions("src")
             .localCheckpoint(true)
         }
 
+        // Frontier-gated scatter: max-propagation is monotone, so a vertex
+        // whose color did not improve this round has nothing new to tell
+        // its neighbors — only improved vertices rescatter (the same
+        // ACTIVE gating Pregel gives WCC). Without it every round re-sends
+        // ALL colors over ALL edges: O(E·rounds) instead of O(Σ frontier
+        // out-degree), the dominant term of the old 300 CPU-s bench cost.
+        // The round count (= changed count) rides the materializing action
+        // via observe(), so each round is ONE Spark job.
+        logPhase("sub-layout", subStart, "")
+        val colorStart = System.nanoTime
+        var colorRounds = 0
         val ownColor = struct(xxhash64(col("id")).as("prio"), col("id").as("cid"))
-        var colors = unassigned.select(col("id"), ownColor.as("color"))
-          .cutLineage()
-        var changed = 1L
+        var colors = unassigned.select(col("id"), ownColor.as("color"),
+          lit(true).as("active")).cutLineage()
+        var changed = remaining // round 1: every vertex is active
         while (changed > 0) {
+          colorRounds += 1
           val better = sub
-            .join(colors.select(col("id").as("src"), col("color")), Seq("src"))
+            .join(gate(colors.where(col("active"))
+              .select(col("id").as("src"), col("color")), changed), Seq("src"))
             .groupBy(col("dst").as("id")).agg(max("color").as("nc"))
-          val next = colors.join(better, Seq("id"), "left_outer")
+          val obs = org.apache.spark.sql.Observation()
+          val next = colors.drop("active").join(better, Seq("id"), "left_outer")
             .select(col("id"),
               greatest(col("color"), coalesce(col("nc"), col("color"))).as("color"),
-              (coalesce(col("nc"), col("color")) > col("color")).as("ch"))
+              (coalesce(col("nc"), col("color")) > col("color")).as("active"))
+            .observe(obs, sum(col("active").cast("long")).as("changed"))
             .cutLineage()
-          changed = next.where(col("ch")).count()
+          changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
           Lineage.release(colors)
-          colors = next.drop("ch")
+          colors = next
         }
 
+        logPhase("color", colorStart, s"rounds=$colorRounds")
+
         // phase 2: backward reachability of each color root within its
-        // class. The reversed subgraph suffices (member and the color
-        // filter both stay inside the unassigned set), prepared the same
-        // way since this loop also joins on src every iteration.
-        val subBwd = Lineage.withFastIteration(spark, enabled = true) {
-          sub.select(col("dst").as("src"), col("src").as("dst"))
+        // class. Restrict the reversed subgraph to SAME-COLOR endpoints
+        // ONCE (propagation then stays in-class by construction — no
+        // per-round color join), and expand only the newly-reached
+        // frontier: total edge traffic is one pass over the intra-class
+        // edges instead of O(members·rounds) re-expansion.
+        val subCStart = System.nanoTime
+        val subC = Lineage.withFastIteration(spark, enabled = true) {
+          sub
+            .join(gate(colors.select(col("id").as("src"), col("color").as("cs")),
+              remaining), Seq("src"))
+            .join(gate(colors.select(col("id").as("dst"), col("color").as("cd")),
+              remaining), Seq("dst"))
+            .where(col("cs") === col("cd"))
+            // reversed: phase 2 walks edges backward, and this loop also
+            // joins on its (reversed) src every iteration
+            .select(col("dst").as("src"), col("src").as("dst"))
             .repartition(col("src")).sortWithinPartitions("src")
             .localCheckpoint(true)
         }
+        logPhase("subC-layout", subCStart, "")
+        val bwdStart = System.nanoTime
+        var bwdRounds = 0
         var member = colors.where(col("id") === col("color")("cid"))
-          .select(col("id"), col("color")).cutLineage()
-        var grew = 1L
+          .select(col("id")).cutLineage()
+        var frontier = member
+        var grew = member.count()
         while (grew > 0) {
-          val expand = subBwd
-            .join(member.select(col("id").as("src"), col("color")), Seq("src"))
-            .select(col("dst").as("id"), col("color"))
-            .join(colors, Seq("id", "color")) // stay within the color class
-            .distinct()
-          val next = member.unionByName(expand).distinct().cutLineage()
-          grew = next.count() - member.count()
-          Lineage.release(member)
-          member = next
+          bwdRounds += 1
+          val expand = subC
+            .join(gate(frontier.withColumnRenamed("id", "src"), grew), Seq("src"))
+            .select(col("dst").as("id")).distinct()
+          val fresh = expand.join(gate(member, remaining), Seq("id"), "left_anti")
+            .cutLineage()
+          grew = fresh.count()
+          if (grew > 0) {
+            val nextMember = member.unionByName(fresh).cutLineage()
+            Lineage.release(member)
+            member = nextMember
+          }
+          if (frontier ne member) Lineage.release(frontier)
+          frontier = fresh
         }
+        Lineage.release(frontier)
+        logPhase("backward", bwdStart, s"rounds=$bwdRounds")
+        // re-attach each member's color for the output labeling
+        val memberColored = member.join(
+          gate(colors.select(col("id"), col("color")), remaining), Seq("id"))
         Lineage.release(sub)
-        Lineage.release(subBwd)
+        Lineage.release(subC)
 
         // output contract: component = max member id of the SCC
-        val label = member.groupBy(col("color"))
+        val label = memberColored.groupBy(col("color"))
           .agg(max("id").as("component"))
-        val assigned = member.join(label, Seq("color"))
+        val assigned = memberColored.join(label, Seq("color"))
           .select(col("id"), col("component"))
         addAssigned(assigned)
         // result/unassigned are re-checkpointed; this round's working
