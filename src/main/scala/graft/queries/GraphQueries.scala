@@ -778,13 +778,19 @@ object GraphQueries {
    *  the DuckDB oracle pins (nodes = |subgraph|, full_cover = true,
    *  beats_singletons = true). */
   def louvainCheck(spark: SparkSession, dir: String): DataFrame = {
-    // fixed gate bound at every scale (like k1coloring_check) so the
-    // oracle's node count is scale-independent; `louvain` itself stays
-    // the bench perf surface on the dynamic bound. Both modularities are
-    // computed by the SAME helper over the same symmetric edge view, so
-    // the comparison is self-consistent by construction.
-    val (g, _) = cachedSubgraph(spark, dir, "r001000", weighted = false)
-    val comm = cachedLouvain(spark, dir, "r001000")
+    // Gate-aware bound — identical to `louvain`'s, so the twin pair shares
+    // ONE cached run at every scale. At both gate SFs communityBound
+    // returns r001000 (sf0.001 has 200 repos, sf0.01 exactly 2000), so the
+    // DuckDB oracle's fixed `id <= 'r001000'` node count is unchanged
+    // where the gate actually runs; at bench scale the check re-validates
+    // the r002000 run instead of paying a second Louvain (measured 16.1 s)
+    // whose result no oracle ever read. Both modularities are computed by
+    // the SAME helper over the same symmetric edge view, so the comparison
+    // is self-consistent by construction.
+    val (_, fverts) = graph(spark, dir)
+    val bound = communityBound(fverts)
+    val (g, _) = cachedSubgraph(spark, dir, bound, weighted = false)
+    val comm = cachedLouvain(spark, dir, bound)
     val ew = g.aggregated(Orientation.Undirected, Aggregation.Sum)
     val m2 = ew.agg(sum("weight")).head().getDouble(0)
     val nNodes = g.nodes.count()
