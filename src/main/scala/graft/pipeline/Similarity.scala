@@ -301,13 +301,21 @@ object Similarity {
         .join(v.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb")), Seq("b"))
         .select(col("a"), col("b"),
           (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      // `changes` = rows of the merged top-K that came from `scored` — the
+      // anti-join above guarantees scored pairs are NOT already held, so
+      // the tag is exactly "slot changed this iteration". Riding the count
+      // on the checkpoint action via observe() makes each iteration ONE
+      // Spark job (the old separate anti-join count re-shuffled both lists).
+      val obs = org.apache.spark.sql.Observation()
       val next = Lineage.cut(
-        nn.union(scored)
+        nn.withColumn("_new", lit(false))
+          .union(scored.withColumn("_new", lit(true)))
           .withColumn("rank", row_number().over(Window.partitionBy("a")
             .orderBy(col("cosine").desc, col("b").asc)))
           .where(col("rank") <= k)
+          .observe(obs, sum(col("_new").cast("long")).as("changes"))
           .select(col("a"), col("b"), col("cosine")))
-      changes = next.join(nn.select(col("a"), col("b")), Seq("a", "b"), "left_anti").count()
+      changes = Option(obs.get("changes")).map(_.asInstanceOf[Long]).getOrElse(0L)
       System.err.println(f"[nn-descent] iter=$iter changes=$changes " +
         f"threshold=$threshold wall=${(System.nanoTime() - itT0) / 1e9}%.1fs")
       Lineage.release(nn)
