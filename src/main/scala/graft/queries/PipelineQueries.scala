@@ -11,11 +11,23 @@ import org.apache.spark.sql.functions._
  */
 object PipelineQueries {
 
+  /** A small single-file parquet scans as ONE split, which serializes the
+   *  per-row hash pipelines (minhash = numHashes sha2 per shingle; simhash;
+   *  raster decode) and the brute-force ANN crossjoin onto one core
+   *  (measured: dedup_lsh_pairs wall ≈ CPU/2 at local[32]). Re-spread ONLY
+   *  when the scan has fewer splits than cores — at production scale the
+   *  scan itself provides the parallelism and this branch never fires, so
+   *  no shuffle is added to the 100 TB plan. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    spread(spark, spark.read.parquet(s"$dir/documents.parquet"))
 
   private def embs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    spread(spark, spark.read.parquet(s"$dir/embeddings.parquet"))
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(spark, dir))
