@@ -13,11 +13,19 @@ object PipelineQueries {
 
   /** A small single-file parquet scans as ONE split, which serializes the
    *  per-row hash pipelines (minhash = numHashes sha2 per shingle; simhash;
-   *  raster decode) and the brute-force ANN crossjoin onto one core
-   *  (measured: dedup_lsh_pairs wall ≈ CPU/2 at local[32]). Re-spread ONLY
-   *  when the scan has fewer splits than cores — at production scale the
-   *  scan itself provides the parallelism and this branch never fires, so
-   *  no shuffle is added to the 100 TB plan. */
+   *  raster decode) onto one core (measured: dedup_lsh_pairs wall ≈ CPU/2
+   *  at local[32]; 45.4 s → 11.8 s same-window A/B after the re-spread).
+   *  Re-spread ONLY when the scan has fewer splits than cores — at
+   *  production scale the scan itself provides the parallelism and this
+   *  branch never fires, so no shuffle is added to the 100 TB plan.
+   *
+   *  Deliberately NOT applied to the embeddings table: its consumers are
+   *  crossJoin-shaped (brute-force topK, LSH plane projection, configured
+   *  proc), and a 32-partition operand turns each CartesianProduct into
+   *  32×32 tiny tasks (measured: similarity_proc process-CPU 2.8 s → 58 s,
+   *  bruteForce 11 s → 129 s). Cartesian task count is p·q — operand
+   *  partitioning must stay O(√cores), which the single-split scan already
+   *  satisfies. */
   private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
@@ -27,7 +35,7 @@ object PipelineQueries {
     spread(spark, spark.read.parquet(s"$dir/documents.parquet"))
 
   private def embs(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, spark.read.parquet(s"$dir/embeddings.parquet"))
+    spark.read.parquet(s"$dir/embeddings.parquet")
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(spark, dir))
