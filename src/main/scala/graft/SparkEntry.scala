@@ -48,6 +48,7 @@ object SparkEntry {
     "dfs" -> (G.dfs _),
     "mst" -> (G.mst _),
     "fastrp" -> (G.fastrp _),
+    "node2vec" -> (G.node2vec _),
     // training-data pipeline (oracle-checked)
     "dedup_exact" -> (P.dedupExact _),
     "dedup_minhash" -> (P.dedupMinhash _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "video_frames_check" -> (P.videoFramesCheck _),
     "mst_check" -> (G.mstCheck _),
     "fastrp_check" -> (G.fastrpCheck _),
+    "node2vec_check" -> (G.node2vecCheck _),
     "random_walk_check" -> (G.randomWalkCheck _),
     "hyperball_check" -> (G.hyperballCheck _),
     "knn_recall" -> (P.knnRecall _),
@@ -125,6 +127,6 @@ object SparkEntry {
     "knn_recall", "dfs", "dfs_check", "random_walks", "random_walk_check",
     "yens", "yens_check",
     // most expensive tail
-    "betweenness", "fastrp", "fastrp_check", "louvain", "louvain_check",
-    "k1coloring", "k1coloring_check")
+    "betweenness", "fastrp", "fastrp_check", "node2vec", "node2vec_check",
+    "louvain", "louvain_check", "k1coloring", "k1coloring_check")
 }

@@ -61,8 +61,9 @@ object GraphQueries {
     subCache.values.forEach { case (g, _) => quiet(g.unpersist()) }
     triCache.values.forEach(t => quiet { t.unpersist(): Unit })
     algoCache.values.forEach(t => quiet { t.unpersist(): Unit })
+    n2vCache.values.forEach { case (e, _) => quiet { e.unpersist(): Unit } }
     cache.clear(); simpleCache.clear(); subCache.clear(); triCache.clear()
-    algoCache.clear(); yensCache.clear()
+    algoCache.clear(); yensCache.clear(); n2vCache.clear()
     CacheHygiene.protectedIds.clear()
   }
 
@@ -588,6 +589,56 @@ object GraphQueries {
     import spark.implicits._
     Seq((agg.getLong(0), agg.getLong(1) == 0L, agg.getLong(2)))
       .toDF("nodes", "dim_32", "norm_violations")
+  }
+
+  /** Node2Vec skip-gram training — shared by node2vec and node2vec_check
+   *  (the check pins the loss trajectory, so the twins must share ONE
+   *  TrainResult; `cachedResult` only memoizes DataFrames). Gate config:
+   *  small walks/window/dim so the 3 SGD steps stay a few seconds at
+   *  bench scale — the algorithm surface, not an embedding-quality run. */
+  private val n2vCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[Double])]()
+
+  private def cachedNode2Vec(spark: SparkSession, dir: String): (DataFrame, Seq[Double]) =
+    n2vCache.computeIfAbsent(dir, { _ =>
+      CacheHygiene.protecting(spark) {
+        val (g, _) = simpleGraph(spark, dir)
+        val res = graft.pipeline.Node2Vec.runWithStats(g, graft.pipeline.Node2Vec.Config(
+          embeddingSize = 16, walkLength = 6, walksPerNode = 1, windowSize = 3,
+          negativeSamplingRate = 2, initialLearningRate = 0.25,
+          minLearningRate = 0.025, iterations = 3, batchesPerIteration = 1,
+          unigramTableSize = 1 << 14, orientation = Orientation.Undirected))
+        val df = res.embeddings
+        try { df.persist(): Unit }
+        catch { case _: IllegalArgumentException => () }
+        df.count()
+        (df, res.losses)
+      }
+    })
+
+  /** Node2Vec embeddings per repo (rows-only: xxhash64-seeded draws). */
+  def node2vec(spark: SparkSession, dir: String): DataFrame = {
+    val (_, verts) = simpleGraph(spark, dir)
+    cachedNode2Vec(spark, dir)._1.join(verts, Seq("id"))
+      .select(col("repo"), col("embedding"))
+  }
+
+  /** Property oracle for node2vec (Node2VecModelTest contract: training
+   *  DESCENDS the skip-gram negative-sampling loss): one embedding per
+   *  graph node, dim 16, and mean sample loss strictly lower at the last
+   *  SGD step than the first. The DuckDB oracle pins (nodes = |graph|,
+   *  dim_16 = true, loss_decreased = true). */
+  def node2vecCheck(spark: SparkSession, dir: String): DataFrame = {
+    val (emb, losses) = cachedNode2Vec(spark, dir)
+    val stats = emb.agg(
+      count(lit(1)).as("nodes"),
+      sum(when(size(col("embedding")) =!= 16, 1L).otherwise(0L)).as("dim_bad"))
+      .head()
+    val decreased = losses.nonEmpty && losses.last < losses.head
+    System.err.println(f"[node2vec] losses=${losses.map(l => f"$l%.4f").mkString(",")}")
+    import spark.implicits._
+    Seq((stats.getLong(0), stats.getLong(1) == 0L, decreased))
+      .toDF("nodes", "dim_16", "loss_decreased")
   }
 
   /** Random walks — shared by random_walks and random_walk_check. */

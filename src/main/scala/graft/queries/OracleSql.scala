@@ -696,6 +696,16 @@ SELECT CAST(count(*) AS BIGINT) AS nodes, true AS dim_32,
        CAST(0 AS BIGINT) AS norm_violations
 FROM nodes"""
 
+  /** Property oracle (node2vec_check): skip-gram SGD over the walk corpus
+   *  must produce one dim-16 embedding per graph node and DESCEND the
+   *  negative-sampling loss (last step's mean sample loss < first's) —
+   *  the Node2VecModel training contract; Spark measures its actual loss
+   *  trajectory and embedding shapes. */
+  val node2vecCheck: String = graphCte + """
+SELECT CAST(count(*) AS BIGINT) AS nodes, true AS dim_16,
+       true AS loss_decreased
+FROM nodes"""
+
   /** Property oracle (random_walk_check): walksPerNode = 1 ⇒ one walk per
    *  graph node, and every hop must follow a real directed edge (Spark
    *  anti-joins its actual hops against the Natural edge set). */
@@ -812,6 +822,7 @@ WHERE list_inner_product(a.e, b.e) /
     "k1coloring_check" -> k1coloringCheck,
     "mst_check" -> mstCheck,
     "fastrp_check" -> fastrpCheck,
+    "node2vec_check" -> node2vecCheck,
     "random_walk_check" -> randomWalkCheck,
     "hyperball_check" -> hyperballCheck,
     "louvain_check" -> louvainCheck,

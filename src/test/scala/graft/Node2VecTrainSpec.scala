@@ -1,0 +1,114 @@
+package graft
+
+import graft.core._
+import graft.pipeline.Node2Vec
+import org.apache.spark.sql.functions._
+
+/**
+ * Skip-gram SGD training (Node2VecModel.java:34, PositiveSampleProducer
+ * .java:31, NegativeSampleProducer.java:27): window semantics, unigram
+ * table shape, loss descent, and community structure in the embeddings.
+ */
+class Node2VecTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    dot / (na * nb)
+  }
+
+  test("positive pairs follow the reference's prefix/postfix window") {
+    // windowSize = 4 ⇒ prefix = ceil(3/2) = 2, postfix = floor(3/2) = 1
+    val kept = Seq((0L, 0L, 10L), (0L, 1L, 11L), (0L, 2L, 12L), (0L, 3L, 13L))
+      .toDF("walkId", "i", "node")
+    val pairs = Node2Vec.positivePairs(kept, windowSize = 4)
+      .select("c", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // center 10 (i=0): contexts i in [-2, 1] \ {0} → 11
+    // center 11 (i=1): [-1, 2] \ {1} → 10, 12
+    // center 12 (i=2): [0, 3] \ {2} → 10, 11, 13
+    // center 13 (i=3): [1, 4] \ {3} → 11, 12
+    assert(pairs === Set(
+      (10L, 11L),
+      (11L, 10L), (11L, 12L),
+      (12L, 10L), (12L, 11L), (12L, 13L),
+      (13L, 11L), (13L, 12L)))
+  }
+
+  test("unigram table covers exactly tableSize buckets, share tracks f^alpha") {
+    val freq = Seq((1L, 81L), (2L, 16L), (3L, 1L)).toDF("node", "f")
+    val t = Node2Vec.unigramTable(freq, tableSize = 1024, exponent = 0.75)
+    val counts = t.groupBy("node").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 1024L)
+    // buckets disjoint: total distinct == total
+    assert(t.select("bucket").distinct().count() === 1024L)
+    // f^0.75: 27 / 8 / 1 → expected shares 27/36, 8/36, 1/36 of 1024
+    val e1 = 1024.0 * 27 / 36; val e2 = 1024.0 * 8 / 36; val e3 = 1024.0 / 36
+    assert(math.abs(counts(1L) - e1) <= 2, s"node1 ${counts(1L)} vs $e1")
+    assert(math.abs(counts(2L) - e2) <= 2, s"node2 ${counts(2L)} vs $e2")
+    assert(math.abs(counts(3L) - e3) <= 2, s"node3 ${counts(3L)} vs $e3")
+  }
+
+  /** Two K5 cliques bridged by one edge: embeddings must separate them. */
+  private def twoCliques: PropertyGraph = {
+    val c1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val c2 = for (a <- 5L to 9L; b <- 5L to 9L if a < b) yield (a, b)
+    graphOf(10, c1 ++ c2 ++ Seq((4L, 5L)))
+  }
+
+  // full-pass steps (1 batch/iteration), few negatives: in a 10-node
+  // vocabulary ~half the unigram draws land in the SAME clique, so a high
+  // negative rate actively fights the separation the test asserts.
+  private val trainCfg = Node2Vec.Config(
+    embeddingSize = 16, walkLength = 12, walksPerNode = 6, windowSize = 4,
+    negativeSamplingRate = 2, centerSamplingFactor = 1.0, // keep all tokens
+    initialLearningRate = 1.0, minLearningRate = 0.05,
+    iterations = 30, batchesPerIteration = 1, unigramTableSize = 1 << 10,
+    orientation = Orientation.Undirected)
+
+  test("training reduces skip-gram loss and separates the two cliques") {
+    val res = Node2Vec.runWithStats(twoCliques, trainCfg)
+    assert(res.losses.size === 30)
+    assert(res.losses.last < res.losses.head,
+      s"loss did not descend: ${res.losses}")
+    val emb = res.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(emb.size === 10 && emb.values.forall(_.size === 16))
+    val sameClique = for {
+      a <- 0L to 9L; b <- 0L to 9L
+      if a < b && (a < 5) == (b < 5)
+    } yield cosine(emb(a), emb(b))
+    val crossClique = for {
+      a <- 0L to 4L; b <- 5L to 9L
+    } yield cosine(emb(a), emb(b))
+    val sameMean = sameClique.sum / sameClique.size
+    val crossMean = crossClique.sum / crossClique.size
+    assert(sameMean > crossMean + 0.05,
+      f"no separation: same=$sameMean%.4f cross=$crossMean%.4f")
+  }
+
+  test("embeddings reproducible across input partitionings (1e-6)") {
+    val g = twoCliques
+    val cfg = trainCfg.copy(iterations = 1)
+    val a = Node2Vec.run(g, cfg).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val g2 = PropertyGraph(g.nodes.repartition(3), g.edges.repartition(5))
+    val b = Node2Vec.run(g2, cfg).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.keySet === b.keySet)
+    for (id <- a.keySet; (x, y) <- a(id).zip(b(id)))
+      assert(math.abs(x - y) <= 1e-6, s"node $id differs: $x vs $y")
+  }
+
+  test("graph with no edges yields untrained init embeddings for every node") {
+    val g = graphOf(3, Seq.empty)
+    val res = Node2Vec.runWithStats(g,
+      trainCfg.copy(walkLength = 4, walksPerNode = 1))
+    val emb = res.embeddings.collect()
+    assert(emb.length === 3)
+    // walks of length 1 produce no pairs; losses exist but may be all-zero
+    assert(res.embeddings.select(size(col("embedding"))).head().getInt(0) === 16)
+  }
+}
