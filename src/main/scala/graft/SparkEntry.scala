@@ -49,6 +49,7 @@ object SparkEntry {
     "mst" -> (G.mst _),
     "fastrp" -> (G.fastrp _),
     "node2vec" -> (G.node2vec _),
+    "graphsage" -> (G.graphsage _),
     // training-data pipeline (oracle-checked)
     "dedup_exact" -> (P.dedupExact _),
     "dedup_minhash" -> (P.dedupMinhash _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "mst_check" -> (G.mstCheck _),
     "fastrp_check" -> (G.fastrpCheck _),
     "node2vec_check" -> (G.node2vecCheck _),
+    "graphsage_check" -> (G.graphsageCheck _),
     "random_walk_check" -> (G.randomWalkCheck _),
     "hyperball_check" -> (G.hyperballCheck _),
     "knn_recall" -> (P.knnRecall _),
@@ -128,5 +130,6 @@ object SparkEntry {
     "yens", "yens_check",
     // most expensive tail
     "betweenness", "fastrp", "fastrp_check", "node2vec", "node2vec_check",
+    "graphsage", "graphsage_check",
     "louvain", "louvain_check", "k1coloring", "k1coloring_check")
 }

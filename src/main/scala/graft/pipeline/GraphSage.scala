@@ -1,0 +1,240 @@
+package graft.pipeline
+
+import graft.core._
+import graft.algos.RandomWalk
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * GraphSage — gds.alpha.graphSage.{train,stream,write}
+ * (alpha/alpha-embeddings/.../graphsage/GraphSageModelTrainer.java:52,
+ * MeanAggregator.java:37: h_k(v) = σ(W_k · MEAN({h_{k−1}(v)} ∪
+ * {h_{k−1}(u), u ∈ N(v)})), GraphSageLoss.java:37: per batch node
+ * −log σ(e_v·e_pos) − Q·log σ(−e_v·e_neg) with positives drawn by random
+ * walk ≤ maxSearchDepth and negatives ∝ degree^0.75).
+ *
+ * Spark-first shapes:
+ *  - the layer state h_k is a wide-column frame (f0..f{d−1}), so one
+ *    aggregation step = self∪neighbor AVG per node (map-side combined,
+ *    hub-safe — identical shape to FastRP's propagation);
+ *  - W_k is a SMALL driver-side matrix inlined into codegen'd column
+ *    expressions (d_out linear combinations per layer) — never a join;
+ *  - training state is just W, so one SGD step is ONE Spark action: a
+ *    single aggregation returning ⟨mean gradient matrix, mean loss⟩, with
+ *    the exact analytic gradient ∂(e_c·e_x)/∂W = e_x m_cᵀ + e_c m_xᵀ;
+ *  - positive pairs ride [[graft.algos.RandomWalk]]; the degree^0.75
+ *    negative distribution reuses [[Node2Vec.unigramTable]].
+ *
+ * Deliberate substitutions (documented, not gaps): training optimizes a
+ * SINGLE mean-aggregator layer with identity activation (the analytic
+ * gradient stays exact; the reference trains multi-layer relu/sigmoid via
+ * its ddl4j autodiff) and plain SGD instead of Adam; `forward` supports
+ * multi-layer relu/sigmoid/identity stacks for inference over stored
+ * weights, and weights live in the [[graft.core.ModelCatalog]] contract as
+ * embedding-producing models. Draws are xxhash64-deterministic like
+ * Node2Vec/FastRP.
+ */
+object GraphSage {
+
+  /** Row-major (d_out rows) × (d_in cols). */
+  type Weights = Array[Array[Double]]
+
+  final case class Config(
+      embeddingSize: Int = 16,
+      activation: String = "identity", // trained layer is identity (exact grad)
+      epochs: Int = 5,
+      batchesPerEpoch: Int = 1,
+      learningRate: Double = 0.1,
+      negativeSamplingRate: Int = 1, // Q — drawn per positive, weight 1 each
+      searchDepth: Int = 3,          // positive-pair walk depth
+      unigramTableSize: Int = 1 << 14,
+      seed: Long = 42L,
+      orientation: Orientation = Orientation.Undirected)
+
+  final case class TrainResult(
+      weights: Weights,
+      losses: Seq[Double],
+      embeddings: DataFrame)
+
+  private def wide(features: DataFrame, prefix: String): (DataFrame, Int) = {
+    val dim = features.select(size(col("features"))).head().getInt(0)
+    (features.select(col("id") +:
+      (0 until dim).map(j => col("features")(j).as(s"$prefix$j")): _*), dim)
+  }
+
+  /** mean({h(v)} ∪ {h(u), u ∈ N(v)}) over wide columns: one union with the
+   *  self rows, one avg aggregation — MultiMean.java re-expressed. Nodes
+   *  absent from `h` contribute nothing (treated as absent, not zero). */
+  private[graft] def meanState(graph: PropertyGraph, h: DataFrame,
+      cols: Seq[String], orientation: Orientation): DataFrame = {
+    val e = graph.oriented(orientation).select(col("src"), col("dst")).distinct()
+    val contribs = e.unionByName(
+      graph.nodes.select(col("id").as("src"), col("id").as("dst")))
+    contribs.join(h.withColumnRenamed("id", "src"), Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(avg(cols.head).as(cols.head), cols.tail.map(c => avg(c).as(c)): _*)
+  }
+
+  private def activate(c: Column, activation: String): Column = activation match {
+    case "relu"     => greatest(c, lit(0.0))
+    case "sigmoid"  => lit(1.0) / (lit(1.0) + exp(-c))
+    case "identity" => c
+    case other      => throw new IllegalArgumentException(s"unknown activation: $other")
+  }
+
+  /** Apply one layer: (id, f0..f{din−1}) → (id, f0..f{dout−1}) with the
+   *  driver-side matrix inlined as codegen'd linear combinations. */
+  private def applyWeights(m: DataFrame, w: Weights, activation: String): DataFrame =
+    m.select(col("id") +: w.indices.map { i =>
+      activate(w(i).indices.map(j => col(s"f$j") * w(i)(j)).reduce(_ + _),
+        activation).as(s"f$i")
+    }: _*)
+
+  /**
+   * Multi-layer inference over stored weights (GraphSageEmbeddingsGenerator
+   * semantics): h_0 = features; h_k = act(W_k · mean(self ∪ N)); output
+   * L2-normalized. @param layers (weights, activation) per layer.
+   * @return (id, embedding: array<double>)
+   */
+  def forward(graph: PropertyGraph, features: DataFrame,
+      layers: Seq[(Weights, String)],
+      orientation: Orientation = Orientation.Undirected): DataFrame = {
+    var (h, dim) = wide(features, "f")
+    h = h.cutLineage()
+    for ((w, act) <- layers) {
+      require(w.head.length == dim,
+        s"layer expects d_in=${w.head.length}, state has $dim")
+      val m = meanState(graph, h, (0 until dim).map(j => s"f$j"), orientation)
+      val next = applyWeights(m, w, act).cutLineage()
+      Lineage.release(h)
+      h = next
+      dim = w.length
+    }
+    val cols = (0 until dim).map(j => col(s"f$j"))
+    val n2 = cols.map(c => c * c).reduce(_ + _)
+    h.withColumn("_n", sqrt(n2))
+      .select(col("id"),
+        array(cols.map(c => when(col("_n") > 0.0, c / col("_n"))
+          .otherwise(0.0)): _*).as("embedding"))
+  }
+
+  /** Degree-based default feature frame (GraphSageHelper's degree-property
+   *  fallback): features = [degree, 1.0]. With `normalized` the degree is
+   *  divided by the max degree — on dense graphs (gate avg degree ~289)
+   *  raw-degree mean-states saturate σ(e_c·e_x) and the trained layer
+   *  oscillates; unit-scale features keep the loss surface usable (the
+   *  reference leans on Adam's per-parameter scaling for the same issue). */
+  def degreeFeatures(graph: PropertyGraph,
+      orientation: Orientation = Orientation.Undirected,
+      normalized: Boolean = false): DataFrame = {
+    val deg = graph.degrees(orientation)
+    val scale =
+      if (!normalized) 1.0
+      else math.max(1.0, deg.agg(max(col("degree"))).head() match {
+        case r if r.isNullAt(0) => 1.0
+        case r => r.getLong(0).toDouble
+      })
+    graph.nodes.select(col("id")).join(deg, Seq("id"), "left_outer")
+      .select(col("id"),
+        array(coalesce(col("degree").cast("double"), lit(0.0)) / scale, lit(1.0))
+          .as("features"))
+  }
+
+  /**
+   * Train one mean-aggregator layer on the unsupervised GraphSageLoss.
+   * Positive pair for v = each node on v's random walk of `searchDepth`
+   * steps; negatives ∝ degree^0.75. Exact analytic gradient, mean-reduced
+   * per step (hub-safe like Node2Vec's averaging), W updated driver-side.
+   */
+  def train(graph: PropertyGraph, features: DataFrame,
+      config: Config = Config()): TrainResult = {
+    val (h0, din) = wide(features, "f")
+    val dout = config.embeddingSize
+    val mcols = (0 until din).map(j => s"f$j")
+    val h0c = h0.cutLineage()
+    val m = meanState(graph, h0c, mcols, config.orientation).cutLineage()
+    Lineage.release(h0c)
+
+    // positive pairs: (start, node reached within searchDepth)
+    val walks = RandomWalk.run(graph, RandomWalk.Config(
+      steps = config.searchDepth, walksPerNode = 1, seed = config.seed,
+      orientation = config.orientation))
+    val pairs = walks
+      .select(col("walkId"), col("start").as("c"),
+        posexplode(col("path")).as(Seq("pos", "x")))
+      .where(col("pos") > 0 && col("c") =!= col("x"))
+      .cutLineage()
+    Lineage.release(walks)
+
+    // negative distribution ∝ degree^0.75 (the trainer's
+    // degreeProbabilityNormalizer semantics), via the unigram table.
+    val deg = graph.degrees(config.orientation)
+      .select(col("id").as("node"), col("degree").cast("long").as("f"))
+      .where(col("f") > 0)
+    val table = Node2Vec.unigramTable(deg, config.unigramTableSize, 0.75)
+
+    // init W deterministically, uniform [-1/√din, 1/√din)
+    def u01(x: Long): Double = {
+      val h = scala.util.hashing.MurmurHash3.productHash((config.seed, x))
+      (h.toDouble / Int.MaxValue + 1.0) / 2.0
+    }
+    val scale = 1.0 / math.sqrt(din.toDouble)
+    var w: Weights = Array.tabulate(dout, din)((i, j) =>
+      (u01(i.toLong * din + j) * 2.0 - 1.0) * scale)
+
+    val b = math.max(1, config.batchesPerEpoch)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (epoch <- 0 until config.epochs; batch <- 0 until b) {
+      val batchPairs = pairs.where(
+        pmod(xxhash64(col("walkId"), col("pos"), lit(epoch),
+          lit(config.seed + 7)), lit(b.toLong)) === batch)
+      val negs = batchPairs
+        .select(col("walkId"), col("pos"), col("c"),
+          explode(sequence(lit(1), lit(config.negativeSamplingRate))).as("rep"))
+        .select(col("walkId"), col("pos"), col("c"),
+          pmod(xxhash64(col("walkId"), col("pos"), col("rep"), lit(epoch),
+            lit(config.seed + 8)), lit(config.unigramTableSize.toLong)).as("bucket"))
+        .join(broadcast(table), Seq("bucket"))
+        .select(col("c"), col("node").as("x"), lit(0.0).as("label"))
+      val samples = batchPairs.select(col("c"), col("x"), lit(1.0).as("label"))
+        .unionByName(negs)
+        .join(m.select(col("id").as("c") +:
+          mcols.map(j => col(j).as(s"mc_$j")): _*), Seq("c"))
+        .join(m.select(col("id").as("x") +:
+          mcols.map(j => col(j).as(s"mx_$j")): _*), Seq("x"))
+
+      // e = W·m for both endpoints, dot, gradient entries — all codegen'd
+      def e(side: String, i: Int): Column =
+        (0 until din).map(j => col(s"m${side}_f$j") * w(i)(j)).reduce(_ + _)
+      val scored = samples
+        .select(Seq(col("label")) ++
+          (0 until dout).map(i => e("c", i).as(s"ec_$i")) ++
+          (0 until dout).map(i => e("x", i).as(s"ex_$i")) ++
+          mcols.map(j => col(s"mc_$j")) ++ mcols.map(j => col(s"mx_$j")): _*)
+        .withColumn("dot",
+          (0 until dout).map(i => col(s"ec_$i") * col(s"ex_$i")).reduce(_ + _))
+        .withColumn("g", col("label") - lit(1.0) / (lit(1.0) + exp(-col("dot"))))
+      val z = col("dot") * (col("label") * 2.0 - 1.0)
+      val gradCols = (for (i <- 0 until dout; j <- 0 until din) yield
+        avg(col("g") * (col(s"ex_$i") * col(s"mc_f$j") +
+          col(s"ec_$i") * col(s"mx_f$j"))).as(s"gw_${i}_$j")) :+
+        avg(greatest(lit(0.0), -z) + log1p(exp(-abs(z)))).as("loss") :+
+        count(lit(1)).as("n")
+      val row = scored.agg(gradCols.head, gradCols.tail: _*).head()
+      val nSamples = row.getAs[Long]("n")
+      if (nSamples > 0) {
+        losses += row.getAs[Double]("loss")
+        w = Array.tabulate(dout, din)((i, j) =>
+          w(i)(j) + config.learningRate * row.getAs[Double](s"gw_${i}_$j"))
+      } else losses += 0.0
+      System.err.println(f"[graphsage] epoch=$epoch batch=$batch " +
+        f"samples=$nSamples meanLoss=${losses.last}%.5f")
+    }
+    Lineage.release(pairs)
+    Lineage.release(table)
+    val emb = forward(graph, features, Seq((w, config.activation)),
+      config.orientation)
+    Lineage.release(m)
+    TrainResult(w, losses.toSeq, emb)
+  }
+}

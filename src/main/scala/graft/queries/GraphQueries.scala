@@ -62,8 +62,9 @@ object GraphQueries {
     triCache.values.forEach(t => quiet { t.unpersist(): Unit })
     algoCache.values.forEach(t => quiet { t.unpersist(): Unit })
     n2vCache.values.forEach { case (e, _) => quiet { e.unpersist(): Unit } }
+    sageCache.values.forEach { case (e, _) => quiet { e.unpersist(): Unit } }
     cache.clear(); simpleCache.clear(); subCache.clear(); triCache.clear()
-    algoCache.clear(); yensCache.clear(); n2vCache.clear()
+    algoCache.clear(); yensCache.clear(); n2vCache.clear(); sageCache.clear()
     CacheHygiene.protectedIds.clear()
   }
 
@@ -639,6 +640,60 @@ object GraphQueries {
     import spark.implicits._
     Seq((stats.getLong(0), stats.getLong(1) == 0L, decreased))
       .toDF("nodes", "dim_16", "loss_decreased")
+  }
+
+  /** GraphSage — shared by graphsage and graphsage_check (the check pins
+   *  the loss trajectory, so the twins share ONE TrainResult). Normalized
+   *  degree features (raw degree saturates the loss on this avg-degree-289
+   *  graph — degreeFeatures scaladoc); one mean-aggregator layer trained
+   *  on the unsupervised GraphSageLoss. */
+  private val sageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[Double])]()
+
+  private def cachedGraphSage(spark: SparkSession, dir: String): (DataFrame, Seq[Double]) =
+    sageCache.computeIfAbsent(dir, { _ =>
+      CacheHygiene.protecting(spark) {
+        val (g, _) = simpleGraph(spark, dir)
+        val feats = graft.pipeline.GraphSage.degreeFeatures(g, normalized = true)
+        val res = graft.pipeline.GraphSage.train(g, feats,
+          graft.pipeline.GraphSage.Config(embeddingSize = 8, epochs = 4,
+            learningRate = 0.05, negativeSamplingRate = 1, searchDepth = 3,
+            unigramTableSize = 1 << 14))
+        val df = res.embeddings
+        try { df.persist(): Unit }
+        catch { case _: IllegalArgumentException => () }
+        df.count()
+        (df, res.losses)
+      }
+    })
+
+  /** GraphSage embeddings per repo (rows-only: xxhash64-seeded walks and
+   *  draws; quality pinned by graphsage_check). */
+  def graphsage(spark: SparkSession, dir: String): DataFrame = {
+    val (_, verts) = simpleGraph(spark, dir)
+    cachedGraphSage(spark, dir)._1.join(verts, Seq("id"))
+      .select(col("repo"), col("embedding"))
+  }
+
+  /** Property oracle for graphsage (GraphSageModelTrainer contract:
+   *  epochs descend the unsupervised loss; embeddings L2-normalized by
+   *  construction): one dim-8 unit-norm embedding per graph node and
+   *  last-epoch loss < first-epoch loss. DuckDB pins (nodes = |graph|,
+   *  dim_8 = true, unit_norm_violations = 0, loss_decreased = true). */
+  def graphsageCheck(spark: SparkSession, dir: String): DataFrame = {
+    val (emb, losses) = cachedGraphSage(spark, dir)
+    val n2 = aggregate(transform(col("embedding"), x => x * x),
+      lit(0.0), (acc, v) => acc + v)
+    val stats = emb.agg(
+      count(lit(1)).as("nodes"),
+      sum(when(size(col("embedding")) =!= 8, 1L).otherwise(0L)).as("dim_bad"),
+      sum(when(abs(sqrt(n2) - 1.0) > 1e-6, 1L).otherwise(0L)).as("norm_bad"))
+      .head()
+    val decreased = losses.nonEmpty && losses.last < losses.head
+    System.err.println(f"[graphsage] losses=${losses.map(l => f"$l%.4f").mkString(",")}")
+    import spark.implicits._
+    Seq((stats.getLong(0), stats.getLong(1) == 0L, stats.getLong(2), decreased))
+      .toDF("nodes", "dim_8", "unit_norm_violations", "loss_decreased")
   }
 
   /** Random walks — shared by random_walks and random_walk_check. */

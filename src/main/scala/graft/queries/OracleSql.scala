@@ -706,6 +706,15 @@ SELECT CAST(count(*) AS BIGINT) AS nodes, true AS dim_16,
        true AS loss_decreased
 FROM nodes"""
 
+  /** Property oracle (graphsage_check): one L2-normalized dim-8 embedding
+   *  per graph node and a descending unsupervised GraphSageLoss across
+   *  epochs — the GraphSageModelTrainer contract; Spark measures its
+   *  actual loss trajectory, dims, and norms. */
+  val graphsageCheck: String = graphCte + """
+SELECT CAST(count(*) AS BIGINT) AS nodes, true AS dim_8,
+       CAST(0 AS BIGINT) AS unit_norm_violations, true AS loss_decreased
+FROM nodes"""
+
   /** Property oracle (random_walk_check): walksPerNode = 1 ⇒ one walk per
    *  graph node, and every hop must follow a real directed edge (Spark
    *  anti-joins its actual hops against the Natural edge set). */
@@ -823,6 +832,7 @@ WHERE list_inner_product(a.e, b.e) /
     "mst_check" -> mstCheck,
     "fastrp_check" -> fastrpCheck,
     "node2vec_check" -> node2vecCheck,
+    "graphsage_check" -> graphsageCheck,
     "random_walk_check" -> randomWalkCheck,
     "hyperball_check" -> hyperballCheck,
     "louvain_check" -> louvainCheck,

@@ -1,0 +1,99 @@
+package graft
+
+import graft.core._
+import graft.pipeline.GraphSage
+import org.apache.spark.sql.functions._
+
+/**
+ * GraphSage mean aggregator + unsupervised training (MeanAggregator
+ * .java:37, GraphSageLoss.java:37, GraphSageModelTrainer.java:52).
+ */
+class GraphSageSpec extends SparkSpec {
+  import spark.implicits._
+
+  // path 0—1—2 plus isolated 3
+  private def pathGraph = graphOf(4, Seq((0L, 1L), (1L, 2L)))
+
+  private def feats(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("id", "features")
+
+  test("forward: one identity layer computes W · mean(self ∪ N), L2-normalized") {
+    val f = feats(0L -> Seq(2.0, 0.0), 1L -> Seq(0.0, 4.0),
+      2L -> Seq(6.0, 0.0), 3L -> Seq(0.0, 8.0))
+    // W = identity: embedding ∝ mean state itself
+    val w = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = GraphSage.forward(pathGraph, f, Seq((w, "identity")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // node 0: mean({(2,0),(0,4)}) = (1,2) → normalized (1,2)/√5
+    val n0 = math.sqrt(5.0)
+    assert(math.abs(out(0L)(0) - 1.0 / n0) < 1e-12)
+    assert(math.abs(out(0L)(1) - 2.0 / n0) < 1e-12)
+    // node 1: mean({(0,4),(2,0),(6,0)}) = (8/3, 4/3) → ∝ (2,1)/√5
+    assert(math.abs(out(1L)(0) - 2.0 / n0) < 1e-12)
+    assert(math.abs(out(1L)(1) - 1.0 / n0) < 1e-12)
+    // isolated node 3: mean({self}) = (0,8) → (0,1)
+    assert(out(3L) === Seq(0.0, 1.0))
+  }
+
+  test("forward: relu clamps negative linear outputs") {
+    val f = feats(0L -> Seq(1.0), 1L -> Seq(1.0), 2L -> Seq(1.0), 3L -> Seq(1.0))
+    val w = Array(Array(-1.0), Array(1.0)) // f0 → (-mean, mean)
+    val out = GraphSage.forward(pathGraph, f, Seq((w, "relu")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // relu kills the negative channel; normalization leaves (0, 1)
+    out.values.foreach(e => assert(e === Seq(0.0, 1.0)))
+  }
+
+  test("forward: inductive — identical feature/neighborhood structure ⇒ identical embeddings") {
+    // path 0—1—2—3: ends 0 and 3 are isomorphic, as are 1 and 2
+    val g = graphOf(4, Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    val f = feats(0L -> Seq(1.0, 5.0), 1L -> Seq(2.0, 5.0),
+      2L -> Seq(2.0, 5.0), 3L -> Seq(1.0, 5.0))
+    val w = Array(Array(0.3, -0.2), Array(0.7, 0.1), Array(-0.4, 0.9))
+    val out = GraphSage.forward(g, f, Seq((w, "relu")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(0L) === out(3L))
+    assert(out(1L) === out(2L))
+    assert(out(0L) !== out(1L))
+  }
+
+  test("two stacked layers change dimensionality as configured") {
+    val f = feats(0L -> Seq(1.0, 2.0), 1L -> Seq(3.0, 4.0),
+      2L -> Seq(5.0, 6.0), 3L -> Seq(7.0, 8.0))
+    val w1 = Array(Array(1.0, 0.5), Array(-0.5, 1.0), Array(0.2, 0.2))
+    val w2 = Array(Array(1.0, 1.0, 1.0), Array(0.0, 1.0, -1.0))
+    val out = GraphSage.forward(pathGraph, f,
+      Seq((w1, "relu"), (w2, "identity")))
+    assert(out.select(size(col("embedding"))).distinct().head().getInt(0) === 2)
+    assert(out.count() === 4)
+  }
+
+  test("training descends the GraphSage loss on the two-clique graph") {
+    val c1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val c2 = for (a <- 5L to 9L; b <- 5L to 9L if a < b) yield (a, b)
+    val g = graphOf(10, c1 ++ c2 ++ Seq((4L, 5L)))
+    val res = GraphSage.train(g, GraphSage.degreeFeatures(g),
+      GraphSage.Config(embeddingSize = 4, epochs = 10, learningRate = 0.05,
+        negativeSamplingRate = 1, searchDepth = 3, unigramTableSize = 256))
+    assert(res.losses.size === 10)
+    assert(res.losses.last < res.losses.head,
+      s"loss did not descend: ${res.losses}")
+    assert(res.weights.length === 4 && res.weights.head.length === 2)
+    val emb = res.embeddings.collect()
+    assert(emb.length === 10)
+    assert(res.embeddings.select(size(col("embedding"))).distinct()
+      .head().getInt(0) === 4)
+  }
+
+  test("trained weights reproducible across input partitionings (1e-6)") {
+    val g = graphOf(6, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L)))
+    val cfg = GraphSage.Config(embeddingSize = 3, epochs = 2,
+      unigramTableSize = 128)
+    val a = GraphSage.train(g, GraphSage.degreeFeatures(g), cfg).weights
+    val g2 = PropertyGraph(g.nodes.repartition(3), g.edges.repartition(5))
+    val b = GraphSage.train(g2, GraphSage.degreeFeatures(g2), cfg).weights
+    for (i <- a.indices; j <- a(i).indices)
+      assert(math.abs(a(i)(j) - b(i)(j)) <= 1e-6,
+        s"W($i)($j): ${a(i)(j)} vs ${b(i)(j)}")
+  }
+}
