@@ -62,6 +62,17 @@ object GdsApp {
           case "lpa" => LabelPropagation.run(g, LabelPropagation.Config(pregel = pregel))
           case "triangles" => TriangleCount.run(g)
           case "degree" => DegreeCentrality.run(g)
+          case "fastrp" => graft.pipeline.FastRP.run(g)
+          case "node2vec" => graft.pipeline.Node2Vec.run(g,
+            graft.pipeline.Node2Vec.Config(
+              embeddingSize = opts2.getOrElse("dim", "128").toInt,
+              iterations = opts2.getOrElse("iterations", "1").toInt))
+          case "graphsage" =>
+            val feats = graft.pipeline.GraphSage.degreeFeatures(g, normalized = true)
+            graft.pipeline.GraphSage.train(g, feats,
+              graft.pipeline.GraphSage.Config(
+                embeddingSize = opts2.getOrElse("dim", "16").toInt,
+                epochs = opts2.getOrElse("epochs", "5").toInt)).embeddings
           case other => sys.error(s"unknown algorithm: $other")
         }
         mode match {

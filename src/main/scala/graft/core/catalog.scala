@@ -379,4 +379,47 @@ object MemoryEstimation {
       "step state (walk,cur,prev,step)" -> n * walksPerNode.toLong * 32,
       "edge partition (src,dst,weight)" -> r * 24))
   }
+
+  /** Node2Vec training (r4): the skip-gram pair corpus dominates —
+   *  tokens × (window−1) rows of (walkId, ci, xi, c, x) — plus the two
+   *  wide embedding tables, the per-step scored batch (positives +
+   *  negatives carrying both endpoints' vectors), and the broadcast
+   *  unigram table. Walk storage itself is the randomWalk estimate. */
+  def node2Vec(graph: PropertyGraph, embeddingSize: Int = 128,
+      walksPerNode: Int = 10, walkLength: Int = 80, windowSize: Int = 10,
+      negativeSamplingRate: Int = 5, batchesPerIteration: Int = 4,
+      unigramTableSize: Int = 1 << 16): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    val tokens = n * walksPerNode.toLong * walkLength
+    val pairs = tokens * math.max(1, windowSize - 1)
+    val batchRows = pairs * (1L + negativeSamplingRate) /
+      math.max(1, batchesPerIteration)
+    val wideRow = 8L + embeddingSize.toLong * 8
+    build(s"node2Vec (dim=$embeddingSize)", n, r, Seq(
+      "positive pair corpus (walkId,ci,xi,c,x)" -> pairs * 40,
+      "center + context wide tables" -> 2 * n * wideRow,
+      "scored batch (pair + both vectors)" -> batchRows * (24 + 2 * wideRow),
+      "unigram table (bucket,node) broadcast" -> unigramTableSize.toLong * 16,
+      "edge partition (src,dst,weight)" -> r * 24))
+  }
+
+  /** GraphSage (r4): node-sized frames throughout — the mean state
+   *  (self ∪ neighbor average of the d_in features), the per-step sample
+   *  frame carrying both endpoints' mean states, and the output
+   *  embeddings; the trained weight matrix is driver-side (d_out×d_in
+   *  doubles, negligible). */
+  def graphSage(graph: PropertyGraph, featureDim: Int = 2,
+      embeddingSize: Int = 16, searchDepth: Int = 3,
+      negativeSamplingRate: Int = 1, batchesPerEpoch: Int = 1): Estimate = {
+    val n = graph.nodeCount; val r = graph.edgeCount
+    val pairs = n * searchDepth.toLong
+    val batchRows = pairs * (1L + negativeSamplingRate) /
+      math.max(1, batchesPerEpoch)
+    val mRow = 8L + featureDim.toLong * 8
+    build(s"graphSage (din=$featureDim,dout=$embeddingSize)", n, r, Seq(
+      "mean state (id, din doubles)" -> n * mRow,
+      "sample frame (pair + both mean states)" -> batchRows * (24 + 2 * mRow),
+      "output embeddings (id, dout doubles)" -> n * (8L + embeddingSize.toLong * 8),
+      "edge partition (src,dst) + self rows" -> (r + n) * 16))
+  }
 }

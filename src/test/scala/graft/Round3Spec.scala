@@ -198,5 +198,14 @@ class Round3Spec extends SparkSpec {
     // fastRP wide rows scale with the embedding dimension
     assert(MemoryEstimation.fastRP(small, 256).bytesMin >
       MemoryEstimation.fastRP(small, 128).bytesMin)
+    // r4 continuation: the trained-embedding families
+    check("node2vec", g => MemoryEstimation.node2Vec(g))
+    check("graphSage", g => MemoryEstimation.graphSage(g))
+    // the pair corpus dominates node2vec: widening the window grows it
+    assert(MemoryEstimation.node2Vec(small, windowSize = 20).bytesMin >
+      MemoryEstimation.node2Vec(small, windowSize = 10).bytesMin)
+    // graphSage footprint scales with the feature dimension
+    assert(MemoryEstimation.graphSage(small, featureDim = 8).bytesMin >
+      MemoryEstimation.graphSage(small, featureDim = 2).bytesMin)
   }
 }
