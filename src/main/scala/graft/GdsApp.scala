@@ -25,7 +25,14 @@ object GdsApp {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val cmd = args.head
-    val opts = parseOpts(args.tail)
+    // the `run` subcommand's positional algorithm operand rides the opts
+    // map (parseOpts only scans --key pairs, so positionals are invisible
+    // to it either way)
+    val positional =
+      if (cmd == "run" && args.length > 1 && !args(1).startsWith("--"))
+        Map("algo" -> args(1))
+      else Map.empty[String, String]
+    val opts = parseOpts(args.tail) ++ positional
     val store = opts.getOrElse("store", "/tmp/graft-store")
 
     val spark = SparkSession.builder()
@@ -36,7 +43,14 @@ object GdsApp {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try dispatch(spark, cmd, opts, store)
+    finally spark.stop()
+  }
 
+  /** Command dispatch on a caller-owned session (split from main so the
+   *  CLI is testable without stopping the shared test session). */
+  private[graft] def dispatch(spark: SparkSession, cmd: String,
+      opts: Map[String, String], store: String): Unit = {
     cmd match {
       case "create" =>
         val input = required(opts, "input")
@@ -50,8 +64,8 @@ object GdsApp {
         println(s"""{"graph":"$name","nodes":${g.nodeCount},"edges":${g.edgeCount}}""")
 
       case "run" =>
-        val algo = args(1)
-        val opts2 = parseOpts(args.drop(2))
+        val algo = required(opts, "algo")
+        val opts2 = opts
         val name = required(opts2, "graph")
         val mode = opts2.getOrElse("mode", "stream")
         val g = load(spark, store, name)
@@ -62,7 +76,9 @@ object GdsApp {
           case "lpa" => LabelPropagation.run(g, LabelPropagation.Config(pregel = pregel))
           case "triangles" => TriangleCount.run(g)
           case "degree" => DegreeCentrality.run(g)
-          case "fastrp" => graft.pipeline.FastRP.run(g)
+          case "fastrp" => graft.pipeline.FastRP.run(g,
+            graft.pipeline.FastRP.Config(
+              embeddingSize = opts2.getOrElse("dim", "64").toInt))
           case "node2vec" => graft.pipeline.Node2Vec.run(g,
             graft.pipeline.Node2Vec.Config(
               embeddingSize = opts2.getOrElse("dim", "128").toInt,
@@ -101,9 +117,8 @@ object GdsApp {
         val ok = deleteRecursively(new java.io.File(s"$store/$name"))
         println(s"""{"dropped":$ok}""")
 
-      case _ => usage(); sys.exit(2)
+      case _ => usage(); sys.error(s"unknown command: $cmd")
     }
-    spark.stop()
   }
 
   private def load(spark: SparkSession, store: String, name: String): PropertyGraph =
