@@ -90,25 +90,66 @@ object GraphSage {
         activation).as(s"f$i")
     }: _*)
 
-  /**
-   * Multi-layer inference over stored weights (GraphSageEmbeddingsGenerator
-   * semantics): h_0 = features; h_k = act(W_k · mean(self ∪ N)); output
-   * L2-normalized. @param layers (weights, activation) per layer.
-   * @return (id, embedding: array<double>)
-   */
+  /** One inference layer: the reference ships two aggregator kinds
+   *  (LayerFactory.createLayer). */
+  sealed trait Layer { def outDim: Int; def inDim: Int }
+
+  /** h_k(v) = act(W · mean({h(v)} ∪ {h(u), u∈N(v)})) — MeanAggregator. */
+  final case class MeanLayer(weights: Weights, activation: String = "identity")
+      extends Layer {
+    def outDim: Int = weights.length
+    def inDim: Int = weights.head.length
+  }
+
+  /** h_k(v) = act(W_self·h(v) + W_nbr·max_{u∈N(v)} act(W_pool·h(u) + b))
+   *  — MaxPoolingAggregator.java:61-81. The elementwise max runs over the
+   *  NEIGHBORS only (the reference's adjacencyMatrix excludes self); a
+   *  node with no neighbors contributes a zero pooled vector, matching the
+   *  reference's zero-initialized max buffer. */
+  final case class PoolLayer(
+      poolWeights: Weights,        // K × d_in
+      bias: Array[Double],         // K
+      selfWeights: Weights,        // d_out × d_in
+      neighborsWeights: Weights,   // d_out × K
+      activation: String = "identity") extends Layer {
+    def outDim: Int = selfWeights.length
+    def inDim: Int = selfWeights.head.length
+  }
+
+  /** Back-compat mean-stack entry (existing callers/tests). */
   def forward(graph: PropertyGraph, features: DataFrame,
       layers: Seq[(Weights, String)],
+      orientation: Orientation): DataFrame =
+    forwardLayers(graph, features,
+      layers.map { case (w, a) => MeanLayer(w, a) }, orientation)
+
+  def forward(graph: PropertyGraph, features: DataFrame,
+      layers: Seq[(Weights, String)]): DataFrame =
+    forward(graph, features, layers, Orientation.Undirected)
+
+  /**
+   * Multi-layer inference over stored weights (GraphSageEmbeddingsGenerator
+   * semantics): h_0 = features; each layer is a mean or max-pooling
+   * aggregation; output L2-normalized.
+   * @return (id, embedding: array<double>)
+   */
+  def forwardLayers(graph: PropertyGraph, features: DataFrame,
+      layers: Seq[Layer],
       orientation: Orientation = Orientation.Undirected): DataFrame = {
     var (h, dim) = wide(features, "f")
     h = h.cutLineage()
-    for ((w, act) <- layers) {
-      require(w.head.length == dim,
-        s"layer expects d_in=${w.head.length}, state has $dim")
-      val m = meanState(graph, h, (0 until dim).map(j => s"f$j"), orientation)
-      val next = applyWeights(m, w, act).cutLineage()
+    for (layer <- layers) {
+      require(layer.inDim == dim,
+        s"layer expects d_in=${layer.inDim}, state has $dim")
+      val next = (layer match {
+        case MeanLayer(w, act) =>
+          val m = meanState(graph, h, (0 until dim).map(j => s"f$j"), orientation)
+          applyWeights(m, w, act)
+        case p: PoolLayer => applyPool(graph, h, dim, p, orientation)
+      }).cutLineage()
       Lineage.release(h)
       h = next
-      dim = w.length
+      dim = layer.outDim
     }
     val cols = (0 until dim).map(j => col(s"f$j"))
     val n2 = cols.map(c => c * c).reduce(_ + _)
@@ -116,6 +157,35 @@ object GraphSage {
       .select(col("id"),
         array(cols.map(c => when(col("_n") > 0.0, c / col("_n"))
           .otherwise(0.0)): _*).as("embedding"))
+  }
+
+  private def applyPool(graph: PropertyGraph, h: DataFrame, dim: Int,
+      p: PoolLayer, orientation: Orientation): DataFrame = {
+    val k = p.poolWeights.length
+    require(p.bias.length == k && p.neighborsWeights.head.length == k,
+      s"pool dims disagree: K=$k, bias=${p.bias.length}, " +
+        s"W_nbr cols=${p.neighborsWeights.head.length}")
+    // per-node pooled vector: act(W_pool · h(u) + b) — row-local wide exprs
+    val pooled = h.select(col("id") +: (0 until k).map { i =>
+      activate(
+        (0 until dim).map(j => col(s"f$j") * p.poolWeights(i)(j)).reduce(_ + _)
+          + p.bias(i),
+        p.activation).as(s"p$i")
+    }: _*)
+    // elementwise max over the neighbors (self excluded); no-neighbor
+    // nodes coalesce to the zero vector
+    val e = graph.oriented(orientation).select(col("src"), col("dst")).distinct()
+    val maxed = e.join(pooled.withColumnRenamed("id", "src"), Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(max(col("p0")).as("p0"), (1 until k).map(i => max(col(s"p$i")).as(s"p$i")): _*)
+    h.join(maxed, Seq("id"), "left_outer")
+      .select(col("id") +: (0 until p.outDim).map { i =>
+        val self = (0 until dim).map(j => col(s"f$j") * p.selfWeights(i)(j))
+          .reduce(_ + _)
+        val nbr = (0 until k).map(j =>
+          coalesce(col(s"p$j"), lit(0.0)) * p.neighborsWeights(i)(j)).reduce(_ + _)
+        activate(self + nbr, p.activation).as(s"f$i")
+      }: _*)
   }
 
   /** Degree-based default feature frame (GraphSageHelper's degree-property

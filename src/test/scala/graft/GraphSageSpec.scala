@@ -68,6 +68,45 @@ class GraphSageSpec extends SparkSpec {
     assert(out.count() === 4)
   }
 
+  test("max-pooling aggregator matches the hand-computed reference formula") {
+    // path 0—1—2 (+ isolated 3), 1-dim features h = id+1
+    val f = feats(0L -> Seq(1.0), 1L -> Seq(2.0), 2L -> Seq(3.0), 3L -> Seq(4.0))
+    // K=1: pooled(u) = relu(1·h(u) + 0) = h(u); max over neighbors;
+    // out_i(v) = self_i·h(v) + nbr_i·maxpool(v), identity output activation
+    val layer = GraphSage.PoolLayer(
+      poolWeights = Array(Array(1.0)), bias = Array(0.0),
+      selfWeights = Array(Array(2.0), Array(0.0)),
+      neighborsWeights = Array(Array(3.0), Array(1.0)),
+      activation = "identity")
+    val out = GraphSage.forwardLayers(pathGraph, f, Seq(layer))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // node 0: self 2·1=2, nbr max{h(1)}=2 → (2+3·2, 0+1·2) = (8, 2)
+    def normd(a: Double, b: Double) = {
+      val n = math.sqrt(a * a + b * b); Seq(a / n, b / n)
+    }
+    assert(out(0L).zip(normd(8, 2)).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+    // node 1: self 2·2=4, max{h(0),h(2)}=3 → (4+9, 3) = (13, 3)
+    assert(out(1L).zip(normd(13, 3)).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+    // isolated node 3: no neighbors → pooled term 0 → (2·4, 0) = (8, 0) → (1, 0)
+    assert(out(3L) === Seq(1.0, 0.0))
+  }
+
+  test("pool and mean layers stack") {
+    val f = feats(0L -> Seq(1.0, 2.0), 1L -> Seq(3.0, 4.0),
+      2L -> Seq(5.0, 6.0), 3L -> Seq(7.0, 8.0))
+    val pool = GraphSage.PoolLayer(
+      poolWeights = Array(Array(0.5, 0.5), Array(-1.0, 1.0)),
+      bias = Array(0.1, -0.1),
+      selfWeights = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0)),
+      neighborsWeights = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.5, 0.5)),
+      activation = "relu")
+    val mean = GraphSage.MeanLayer(
+      Array(Array(1.0, -1.0, 0.5), Array(0.2, 0.3, 0.4)), "identity")
+    val out = GraphSage.forwardLayers(pathGraph, f, Seq(pool, mean))
+    assert(out.count() === 4)
+    assert(out.select(size(col("embedding"))).distinct().head().getInt(0) === 2)
+  }
+
   test("training descends the GraphSage loss on the two-clique graph") {
     val c1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
     val c2 = for (a <- 5L to 9L; b <- 5L to 9L if a < b) yield (a, b)
