@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
  * spark-submit entry point (SURVEY.md §7.2 minimum end-to-end slice):
  *
  *   GdsApp create --input code_files.parquet --graph g [--store DIR]
- *   GdsApp run <pagerank|wcc|lpa|triangles|degree> --graph g
- *          [--mode stream|stats|write] [--output DIR] [--checkpoint DIR]
- *          [--store DIR]
+ *   GdsApp run <pagerank|wcc|lpa|triangles|degree|fastrp|node2vec|graphsage>
+ *          --graph g [--mode stream|stats|write] [--output DIR]
+ *          [--checkpoint DIR] [--store DIR] [--dim N] [--iterations N]
+ *          [--epochs N]
  *   GdsApp list|drop --graph g [--store DIR]
  *
  * The durable catalog is a directory of parquet graphs
@@ -32,7 +33,10 @@ object GdsApp {
       if (cmd == "run" && args.length > 1 && !args(1).startsWith("--"))
         Map("algo" -> args(1))
       else Map.empty[String, String]
-    val opts = parseOpts(args.tail) ++ positional
+    val named = parseOpts(args.tail)
+    for (p <- positional.get("algo"); n <- named.get("algo") if p != n)
+      sys.error(s"conflicting algorithm spec: positional '$p' vs --algo '$n'")
+    val opts = named ++ positional
     val store = opts.getOrElse("store", "/tmp/graft-store")
 
     val spark = SparkSession.builder()
@@ -104,6 +108,8 @@ object GdsApp {
             val out = required(opts2, "output")
             val w = ExecutionModes.write(result, out)
             println(s"""{"rowsWritten":${w.rowsWritten},"writeMillis":${w.writeMillis},"path":"${w.path}"}""")
+          case other =>
+            sys.error(s"unknown mode: $other (expected stream|stats|write)")
         }
 
       case "list" =>
@@ -149,7 +155,9 @@ object GdsApp {
 
   private def usage(): Unit = System.err.println(
     """usage: GdsApp create --input <parquet> --graph <name> [--store DIR]
-      |       GdsApp run <pagerank|wcc|lpa|triangles|degree> --graph <name>
-      |              [--mode stream|stats|write] [--output DIR] [--checkpoint DIR]
+      |       GdsApp run <pagerank|wcc|lpa|triangles|degree|fastrp|node2vec|graphsage>
+      |              --graph <name> [--mode stream|stats|write] [--output DIR]
+      |              [--checkpoint DIR] [--dim N] [--iterations N] [--epochs N]
+      |              (the algorithm may also be passed as --algo <name>)
       |       GdsApp list | drop --graph <name>""".stripMargin)
 }

@@ -38,10 +38,11 @@ object ModelCatalog {
 
   def set(model: Model): Unit = {
     val key = (model.username, model.name)
-    if (models.containsKey(key))
+    // atomic check-and-insert: a containsKey-then-put race would let two
+    // concurrent stores of the same (user, name) both "succeed"
+    if (models.putIfAbsent(key, model) != null)
       throw new IllegalArgumentException(
         s"Model with name `${model.name}` already exists")
-    models.put(key, model)
   }
 
   /** Convenience `Model.of` (Model.java:44). */
@@ -89,10 +90,11 @@ object ModelCatalog {
     val cfg = model.trainConfig.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    val meta =
-      s"""{"username":"${esc(model.username)}","name":"${esc(model.name)}",
-         |"algoType":"${esc(model.algoType)}","creationTime":"${model.creationTime}",
-         |"trainConfig":$cfg}""".stripMargin.replace("\n", "")
+    val meta = s"""{"username":"${esc(model.username)}",""" +
+      s""""name":"${esc(model.name)}",""" +
+      s""""algoType":"${esc(model.algoType)}",""" +
+      s""""creationTime":"${model.creationTime}",""" +
+      s""""trainConfig":$cfg}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir).resolve("model.json").normalize(), meta)
   }
@@ -114,6 +116,7 @@ object ModelCatalog {
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
 
   /** Minimal flat-JSON reader for the sidecar this object itself writes:
    *  string values only, and `trainConfig` is always the LAST top-level
@@ -121,7 +124,24 @@ object ModelCatalog {
    *  (flattened under a "trainConfig." prefix). Not a general JSON parser. */
   private def ujsonLite(s: String): Map[String, String] = {
     val field = """"((?:[^"\\]|\\.)*)"\s*:\s*(\{|"((?:[^"\\]|\\.)*)")""".r
-    def unesc(v: String) = v.replace("\\\"", "\"").replace("\\\\", "\\")
+    // single-pass unescape: sequential .replace calls would corrupt
+    // escaped-backslash-then-n sequences ("\\n" vs "\n")
+    def unesc(v: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        if (v.charAt(i) == '\\' && i + 1 < v.length) {
+          v.charAt(i + 1) match {
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case c   => sb.append(c)
+          }
+          i += 2
+        } else { sb.append(v.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
     var prefix = ""
     val out = scala.collection.mutable.Map[String, String]()
     field.findAllMatchIn(s).foreach { m =>

@@ -218,6 +218,13 @@ object GraphSage {
    */
   def train(graph: PropertyGraph, features: DataFrame,
       config: Config = Config()): TrainResult = {
+    // the analytic gradient is derived for e = W·m with NO activation;
+    // training under a nonlinearity would descend a different loss than
+    // the embeddings returned (use forwardLayers over stored weights for
+    // relu/sigmoid inference stacks).
+    require(config.activation == "identity",
+      s"train optimizes the identity-activation layer only; " +
+        s"got '${config.activation}'")
     val (h0, din) = wide(features, "f")
     val dout = config.embeddingSize
     val mcols = (0 until din).map(j => s"f$j")
@@ -258,14 +265,19 @@ object GraphSage {
       val batchPairs = pairs.where(
         pmod(xxhash64(col("walkId"), col("pos"), lit(epoch),
           lit(config.seed + 7)), lit(b.toLong)) === batch)
-      val negs = batchPairs
-        .select(col("walkId"), col("pos"), col("c"),
-          explode(sequence(lit(1), lit(config.negativeSamplingRate))).as("rep"))
-        .select(col("walkId"), col("pos"), col("c"),
-          pmod(xxhash64(col("walkId"), col("pos"), col("rep"), lit(epoch),
-            lit(config.seed + 8)), lit(config.unigramTableSize.toLong)).as("bucket"))
-        .join(broadcast(table), Seq("bucket"))
-        .select(col("c"), col("node").as("x"), lit(0.0).as("label"))
+      // sequence(1, 0) is the DESCENDING [1, 0], not empty — rate 0 must
+      // produce no negatives (same guard as Node2Vec).
+      val negs =
+        if (config.negativeSamplingRate <= 0) batchPairs.limit(0)
+          .select(col("c"), col("x"), lit(0.0).as("label"))
+        else batchPairs
+          .select(col("walkId"), col("pos"), col("c"),
+            explode(sequence(lit(1), lit(config.negativeSamplingRate))).as("rep"))
+          .select(col("walkId"), col("pos"), col("c"),
+            pmod(xxhash64(col("walkId"), col("pos"), col("rep"), lit(epoch),
+              lit(config.seed + 8)), lit(config.unigramTableSize.toLong)).as("bucket"))
+          .join(broadcast(table), Seq("bucket"))
+          .select(col("c"), col("node").as("x"), lit(0.0).as("label"))
       val samples = batchPairs.select(col("c"), col("x"), lit(1.0).as("label"))
         .unionByName(negs)
         .join(m.select(col("id").as("c") +:

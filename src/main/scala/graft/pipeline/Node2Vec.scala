@@ -152,15 +152,20 @@ object Node2Vec {
       val batchPairs = pairs.where(
         pmod(xxhash64(col("walkId"), col("ci"), col("xi"), lit(iter),
           lit(config.seed + 5)), lit(b.toLong)) === batch)
-      val negs = batchPairs
-        .select(col("walkId"), col("ci"), col("xi"), col("c"),
-          explode(sequence(lit(1), lit(config.negativeSamplingRate))).as("rep"))
-        .select(col("c"),
-          pmod(xxhash64(col("walkId"), col("ci"), col("xi"), col("rep"),
-            lit(iter), lit(config.seed + 6)),
-            lit(config.unigramTableSize.toLong)).as("bucket"))
-        .join(broadcast(table), Seq("bucket"))
-        .select(col("c"), col("node").as("x"), lit(0.0).as("label"))
+      // negativeSamplingRate = 0 must yield NO negatives — Spark's
+      // sequence(1, 0) is the DESCENDING array [1, 0], not empty.
+      val negs =
+        if (config.negativeSamplingRate <= 0) batchPairs.limit(0)
+          .select(col("c"), col("x"), lit(0.0).as("label"))
+        else batchPairs
+          .select(col("walkId"), col("ci"), col("xi"), col("c"),
+            explode(sequence(lit(1), lit(config.negativeSamplingRate))).as("rep"))
+          .select(col("c"),
+            pmod(xxhash64(col("walkId"), col("ci"), col("xi"), col("rep"),
+              lit(iter), lit(config.seed + 6)),
+              lit(config.unigramTableSize.toLong)).as("bucket"))
+          .join(broadcast(table), Seq("bucket"))
+          .select(col("c"), col("node").as("x"), lit(0.0).as("label"))
       val samples = batchPairs.select(col("c"), col("x"), lit(1.0).as("label"))
         .unionByName(negs)
 
@@ -235,16 +240,23 @@ object Node2Vec {
   /** Skip-gram pairs over re-indexed tokens (walkId, i, node): center i ×
    *  context j ∈ [i−⌈(w−1)/2⌉, i+⌊(w−1)/2⌋] \ {i} within the walk —
    *  exactly PositiveSampleProducer's window (prefix/postfix split,
-   *  :60-62). Returns (walkId, ci, xi, c, x); positions kept because they
-   *  are the sample's identity for the deterministic draws. */
+   *  :60-62). Each center explodes its FIXED offset range and equi-joins
+   *  back on (walkId, position) — linear in tokens × window; a plain
+   *  per-walk self-join would materialize walkLength² candidate rows per
+   *  walk before the window filter (~9× waste at the 80/10 defaults).
+   *  Returns (walkId, ci, xi, c, x); positions kept because they are the
+   *  sample's identity for the deterministic draws. */
   private[graft] def positivePairs(kept: DataFrame, windowSize: Int): DataFrame = {
     val prefix = (windowSize - 1 + 1) / 2 // ceilDiv(w-1, 2)
     val postfix = (windowSize - 1) / 2
-    val centers = kept.select(col("walkId"), col("i").as("ci"), col("node").as("c"))
-    val contexts = kept.select(col("walkId"), col("i").as("xi"), col("node").as("x"))
-    centers.join(contexts, Seq("walkId"))
-      .where(col("xi") =!= col("ci") &&
-        col("xi") >= col("ci") - prefix && col("xi") <= col("ci") + postfix)
+    val offsets = ((-prefix to postfix).filter(_ != 0)).map(o => lit(o.toLong))
+    val centers = kept
+      .select(col("walkId"), col("i").as("ci"), col("node").as("c"),
+        explode(array(offsets: _*)).as("off"))
+      .select(col("walkId"), col("ci"), col("c"), (col("ci") + col("off")).as("xi"))
+    centers.join(
+      kept.select(col("walkId"), col("i").as("xi"), col("node").as("x")),
+      Seq("walkId", "xi"))
   }
 
   /**

@@ -61,10 +61,9 @@ object GraphQueries {
     subCache.values.forEach { case (g, _) => quiet(g.unpersist()) }
     triCache.values.forEach(t => quiet { t.unpersist(): Unit })
     algoCache.values.forEach(t => quiet { t.unpersist(): Unit })
-    n2vCache.values.forEach { case (e, _) => quiet { e.unpersist(): Unit } }
-    sageCache.values.forEach { case (e, _) => quiet { e.unpersist(): Unit } }
+    valueCache.values.forEach { case (e, _) => quiet { e.unpersist(): Unit } }
     cache.clear(); simpleCache.clear(); subCache.clear(); triCache.clear()
-    algoCache.clear(); yensCache.clear(); n2vCache.clear(); sageCache.clear()
+    algoCache.clear(); yensCache.clear(); valueCache.clear()
     CacheHygiene.protectedIds.clear()
   }
 
@@ -592,30 +591,39 @@ object GraphQueries {
       .toDF("nodes", "dim_32", "norm_violations")
   }
 
-  /** Node2Vec skip-gram training — shared by node2vec and node2vec_check
-   *  (the check pins the loss trajectory, so the twins must share ONE
-   *  TrainResult; `cachedResult` only memoizes DataFrames). Gate config:
-   *  small walks/window/dim so the 3 SGD steps stay a few seconds at
-   *  bench scale — the algorithm surface, not an embedding-quality run. */
-  private val n2vCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[Double])]()
+  /** cachedResult generalized to a frame PLUS a driver-side payload (the
+   *  trained-embedding twins share a loss trajectory, not just a frame):
+   *  same memoize + protect + persist + materialize sequence. */
+  private val valueCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Any)]()
 
-  private def cachedNode2Vec(spark: SparkSession, dir: String): (DataFrame, Seq[Double]) =
-    n2vCache.computeIfAbsent(dir, { _ =>
+  private def cachedValue[A](spark: SparkSession, key: String)
+      (build: => (DataFrame, A)): (DataFrame, A) =
+    valueCache.computeIfAbsent(key, { _ =>
       CacheHygiene.protecting(spark) {
-        val (g, _) = simpleGraph(spark, dir)
-        val res = graft.pipeline.Node2Vec.runWithStats(g, graft.pipeline.Node2Vec.Config(
-          embeddingSize = 16, walkLength = 6, walksPerNode = 1, windowSize = 3,
-          negativeSamplingRate = 2, initialLearningRate = 0.25,
-          minLearningRate = 0.025, iterations = 3, batchesPerIteration = 1,
-          unigramTableSize = 1 << 14, orientation = Orientation.Undirected))
-        val df = res.embeddings
+        val (df, a) = build
         try { df.persist(): Unit }
         catch { case _: IllegalArgumentException => () }
         df.count()
-        (df, res.losses)
+        (df, a)
       }
-    })
+    }).asInstanceOf[(DataFrame, A)]
+
+  /** Node2Vec skip-gram training — shared by node2vec and node2vec_check
+   *  (the check pins the loss trajectory, so the twins share ONE
+   *  TrainResult). Gate config: small walks/window/dim so the 3 SGD steps
+   *  stay a few seconds at bench scale — the algorithm surface, not an
+   *  embedding-quality run. */
+  private def cachedNode2Vec(spark: SparkSession, dir: String): (DataFrame, Seq[Double]) =
+    cachedValue[Seq[Double]](spark, s"n2v|$dir") {
+      val (g, _) = simpleGraph(spark, dir)
+      val res = graft.pipeline.Node2Vec.runWithStats(g, graft.pipeline.Node2Vec.Config(
+        embeddingSize = 16, walkLength = 6, walksPerNode = 1, windowSize = 3,
+        negativeSamplingRate = 2, initialLearningRate = 0.25,
+        minLearningRate = 0.025, iterations = 3, batchesPerIteration = 1,
+        unigramTableSize = 1 << 14, orientation = Orientation.Undirected))
+      (res.embeddings, res.losses)
+    }
 
   /** Node2Vec embeddings per repo (rows-only: xxhash64-seeded draws). */
   def node2vec(spark: SparkSession, dir: String): DataFrame = {
@@ -647,25 +655,16 @@ object GraphQueries {
    *  degree features (raw degree saturates the loss on this avg-degree-289
    *  graph — degreeFeatures scaladoc); one mean-aggregator layer trained
    *  on the unsupervised GraphSageLoss. */
-  private val sageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[Double])]()
-
   private def cachedGraphSage(spark: SparkSession, dir: String): (DataFrame, Seq[Double]) =
-    sageCache.computeIfAbsent(dir, { _ =>
-      CacheHygiene.protecting(spark) {
-        val (g, _) = simpleGraph(spark, dir)
-        val feats = graft.pipeline.GraphSage.degreeFeatures(g, normalized = true)
-        val res = graft.pipeline.GraphSage.train(g, feats,
-          graft.pipeline.GraphSage.Config(embeddingSize = 8, epochs = 4,
-            learningRate = 0.05, negativeSamplingRate = 1, searchDepth = 3,
-            unigramTableSize = 1 << 14))
-        val df = res.embeddings
-        try { df.persist(): Unit }
-        catch { case _: IllegalArgumentException => () }
-        df.count()
-        (df, res.losses)
-      }
-    })
+    cachedValue[Seq[Double]](spark, s"sage|$dir") {
+      val (g, _) = simpleGraph(spark, dir)
+      val feats = graft.pipeline.GraphSage.degreeFeatures(g, normalized = true)
+      val res = graft.pipeline.GraphSage.train(g, feats,
+        graft.pipeline.GraphSage.Config(embeddingSize = 8, epochs = 4,
+          learningRate = 0.05, negativeSamplingRate = 1, searchDepth = 3,
+          unigramTableSize = 1 << 14))
+      (res.embeddings, res.losses)
+    }
 
   /** GraphSage embeddings per repo (rows-only: xxhash64-seeded walks and
    *  draws; quality pinned by graphsage_check). */

@@ -50,12 +50,14 @@ class ModelCatalogSpec extends SparkSpec with BeforeAndAfterEach {
   test("save / load roundtrip preserves metadata and data") {
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
     val m = ModelCatalog.store("alice", "n2v", "node2vec", embeddings,
-      Map("embeddingSize" -> "2", "windowSize" -> "3"))
+      Map("embeddingSize" -> "2", "windowSize" -> "3",
+        "note" -> "line1\nline2\ttab \"quoted\" back\\slash"))
     ModelCatalog.save(m, dir)
     val loaded = ModelCatalog.load(spark, dir)
     assert(loaded.username === "alice" && loaded.name === "n2v" &&
       loaded.algoType === "node2vec")
-    assert(loaded.trainConfig === Map("embeddingSize" -> "2", "windowSize" -> "3"))
+    assert(loaded.trainConfig === Map("embeddingSize" -> "2", "windowSize" -> "3",
+      "note" -> "line1\nline2\ttab \"quoted\" back\\slash"))
     assert(loaded.creationTime === m.creationTime)
     val rows = loaded.data.orderBy("id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq

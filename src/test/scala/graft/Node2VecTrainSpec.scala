@@ -102,6 +102,17 @@ class Node2VecTrainSpec extends SparkSpec {
       assert(math.abs(x - y) <= 1e-6, s"node $id differs: $x vs $y")
   }
 
+  test("negativeSamplingRate = 0 trains on positives only (sequence(1,0) is NOT empty)") {
+    val res = Node2Vec.runWithStats(twoCliques,
+      trainCfg.copy(iterations = 1, negativeSamplingRate = 0))
+    // positives per step = full pair corpus; with the old sequence(1, 0)
+    // descending-array bug every pair gained TWO negatives (3x the count)
+    assert(res.sampleCounts.head > 0)
+    val withNegs = Node2Vec.runWithStats(twoCliques,
+      trainCfg.copy(iterations = 1, negativeSamplingRate = 2))
+    assert(withNegs.sampleCounts.head === res.sampleCounts.head * 3)
+  }
+
   test("graph with no edges yields untrained init embeddings for every node") {
     val g = graphOf(3, Seq.empty)
     val res = Node2Vec.runWithStats(g,
