@@ -28,11 +28,11 @@ import org.apache.spark.sql.functions._
  * Deliberate substitutions (documented, not gaps): training optimizes a
  * SINGLE mean-aggregator layer with identity activation (the analytic
  * gradient stays exact; the reference trains multi-layer relu/sigmoid via
- * its ddl4j autodiff) and plain SGD instead of Adam; `forward` supports
- * multi-layer relu/sigmoid/identity stacks for inference over stored
- * weights, and weights live in the [[graft.core.ModelCatalog]] contract as
- * embedding-producing models. Draws are xxhash64-deterministic like
- * Node2Vec/FastRP.
+ * its ddl4j autodiff) and plain SGD instead of Adam; `forwardLayers`
+ * supports multi-layer relu/sigmoid/identity stacks over stored weights
+ * with BOTH reference aggregators (mean and max-pooling), and weights
+ * live in the [[graft.core.ModelCatalog]] contract as embedding-producing
+ * models. Draws are xxhash64-deterministic like Node2Vec/FastRP.
  */
 object GraphSage {
 
