@@ -119,12 +119,7 @@ object Node2Vec {
     val s = config.centerSamplingFactor
     val keepProb = freq.select(col("node"),
       ((sqrt(col("f") / lit(s * total)) + 1.0) * lit(s * total) / col("f")).as("keep"))
-    val kept = tokens.join(keepProb, Seq("node"))
-      .where(u01(xxhash64(col("walkId"), col("pos"), lit(config.seed + 1))) < col("keep"))
-      .withColumn("i",
-        row_number().over(Window.partitionBy("walkId").orderBy("pos")) - 1)
-      .select(col("walkId"), col("i"), col("node"))
-      .cutLineage()
+    val kept = subsampleWalks(tokens, keepProb, config.seed + 1).cutLineage()
     Lineage.release(tokens)
 
     // ---- positive pairs ---------------------------------------------------
@@ -226,6 +221,20 @@ object Node2Vec {
 
   private def u01(h: Column): Column =
     pmod(h, lit(1000000L)).cast("double") / 1e6
+
+  /** Word2vec subsampling applied to the walk corpus BEFORE pairing
+   *  (PositiveSampleProducer.filter, :131-134): drop each token with
+   *  probability 1−keep(node), then RE-INDEX the survivors to consecutive
+   *  positions so the window pairs over the filtered walk. Split out for
+   *  the reference-fixture test (shouldRemoveDownsampledWordFromWalk). */
+  private[graft] def subsampleWalks(tokens: DataFrame, keepProb: DataFrame,
+      seed: Long): DataFrame =
+    tokens.join(keepProb, Seq("node"))
+      .where(u01(xxhash64(col("walkId"), col("pos"), lit(seed))) < col("keep"))
+      .withColumn("i",
+        (row_number().over(Window.partitionBy("walkId").orderBy("pos")) - 1)
+          .cast("long"))
+      .select(col("walkId"), col("i"), col("node"))
 
   /** Uniform [-1, 1) init, entry (id, j) a pure function of (id, j, seed). */
   private def initTable(nodes: DataFrame, dim: Int, seed: Long,

@@ -36,6 +36,51 @@ class Node2VecTrainSpec extends SparkSpec {
       (13L, 11L), (13L, 12L)))
   }
 
+  test("reference fixture: shouldProducePairsWithBounds (window 3 over two walks)") {
+    // PositiveSampleProducerTest.shouldProducePairsWithBounds: walks
+    // (0,1,2) and (3,4,5), windowSize 3 → the exact 8 ordered pairs.
+    val kept = Seq(
+      (0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 0L, 3L), (1L, 1L, 4L), (1L, 2L, 5L))
+      .toDF("walkId", "i", "node")
+    val pairs = Node2Vec.positivePairs(kept, windowSize = 3)
+      .select("c", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set(
+      (0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (5L, 4L)))
+  }
+
+  test("reference fixture: shouldRemoveDownsampledWordFromWalk (filter then re-index)") {
+    // PositiveSampleProducerTest.shouldRemoveDownsampledWordFromWalk:
+    // nodes 1 and 5 have keep-probability 0; walks (0,1) → too short,
+    // (0,1,2) → (0,2), (3,4,5,6) → (3,4,6), (3,4,5) → (3,4); window 3.
+    val tokens = Seq(
+      (0L, 0L, 0L), (0L, 1L, 1L),
+      (1L, 0L, 0L), (1L, 1L, 1L), (1L, 2L, 2L),
+      (2L, 0L, 3L), (2L, 1L, 4L), (2L, 2L, 5L), (2L, 3L, 6L),
+      (3L, 0L, 3L), (3L, 1L, 4L), (3L, 2L, 5L))
+      .toDF("walkId", "pos", "node")
+    val keep = Seq((0L, 1.0), (1L, 0.0), (2L, 1.0), (3L, 1.0),
+      (4L, 1.0), (5L, 0.0), (6L, 1.0)).toDF("node", "keep")
+    val kept = Node2Vec.subsampleWalks(tokens, keep, seed = 7L)
+    // survivors re-indexed consecutively per walk
+    val byWalk = kept.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byWalk(0L) === Seq(0L))
+    assert(byWalk(1L) === Seq(0L, 2L))
+    assert(byWalk(2L) === Seq(3L, 4L, 6L))
+    assert(byWalk(3L) === Seq(3L, 4L))
+    // pairs over the filtered walks — the reference's expected multiset
+    val pairs = Node2Vec.positivePairs(kept, windowSize = 3)
+      .select("c", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(pairs === Map(
+      (0L, 2L) -> 1, (2L, 0L) -> 1,
+      (3L, 4L) -> 2, (4L, 3L) -> 2,
+      (4L, 6L) -> 1, (6L, 4L) -> 1))
+  }
+
   test("unigram table covers exactly tableSize buckets, share tracks f^alpha") {
     val freq = Seq((1L, 81L), (2L, 16L), (3L, 1L)).toDF("node", "f")
     val t = Node2Vec.unigramTable(freq, tableSize = 1024, exponent = 0.75)
