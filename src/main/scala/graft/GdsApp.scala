@@ -89,10 +89,21 @@ object GdsApp {
               iterations = opts2.getOrElse("iterations", "1").toInt))
           case "graphsage" =>
             val feats = graft.pipeline.GraphSage.degreeFeatures(g, normalized = true)
-            graft.pipeline.GraphSage.train(g, feats,
-              graft.pipeline.GraphSage.Config(
-                embeddingSize = opts2.getOrElse("dim", "16").toInt,
-                epochs = opts2.getOrElse("epochs", "5").toInt)).embeddings
+            // --layers d1,d2,... selects the multi-layer Adam trainer;
+            // without it the single-layer identity fast path runs.
+            opts2.get("layers") match {
+              case Some(spec) =>
+                graft.pipeline.GraphSage.trainLayers(g, feats,
+                  graft.pipeline.GraphSage.TrainLayersConfig(
+                    layerDims = spec.split(',').map(_.trim.toInt).toSeq,
+                    activation = opts2.getOrElse("activation", "sigmoid"),
+                    epochs = opts2.getOrElse("epochs", "5").toInt)).embeddings
+              case None =>
+                graft.pipeline.GraphSage.train(g, feats,
+                  graft.pipeline.GraphSage.Config(
+                    embeddingSize = opts2.getOrElse("dim", "16").toInt,
+                    epochs = opts2.getOrElse("epochs", "5").toInt)).embeddings
+            }
           case other => sys.error(s"unknown algorithm: $other")
         }
         mode match {

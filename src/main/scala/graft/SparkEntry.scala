@@ -50,6 +50,8 @@ object SparkEntry {
     "fastrp" -> (G.fastrp _),
     "node2vec" -> (G.node2vec _),
     "graphsage" -> (G.graphsage _),
+    "graphsage_train" -> (G.graphsageTrain _),
+    "embedding_losses" -> (G.embeddingLosses _),
     // training-data pipeline (oracle-checked)
     "dedup_exact" -> (P.dedupExact _),
     "dedup_minhash" -> (P.dedupMinhash _),
@@ -78,6 +80,7 @@ object SparkEntry {
     "fastrp_check" -> (G.fastrpCheck _),
     "node2vec_check" -> (G.node2vecCheck _),
     "graphsage_check" -> (G.graphsageCheck _),
+    "graphsage_train_check" -> (G.graphsageTrainCheck _),
     "random_walk_check" -> (G.randomWalkCheck _),
     "hyperball_check" -> (G.hyperballCheck _),
     "knn_recall" -> (P.knnRecall _),
@@ -131,5 +134,6 @@ object SparkEntry {
     // most expensive tail
     "betweenness", "fastrp", "fastrp_check", "node2vec", "node2vec_check",
     "graphsage", "graphsage_check",
+    "graphsage_train", "graphsage_train_check", "embedding_losses",
     "louvain", "louvain_check", "k1coloring", "k1coloring_check")
 }

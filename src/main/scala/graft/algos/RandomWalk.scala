@@ -60,18 +60,29 @@ object RandomWalk {
         lit(false).as("stopped"))
       .cutLineage()
 
+    val spark = graph.nodes.sparkSession
+    import spark.implicits._
     for (step <- 1 to config.steps) {
-      val withNbrs = walks
+      // the step number rides a ONE-ROW broadcast param table, not a plan
+      // literal: literal steps make every superstep a brand-new plan that
+      // re-generates and re-JITs its codegen (same fresh-JVM cold-start
+      // family as the Node2Vec lr literal — BASELINE.md calibration
+      // note); as an attribute the superstep plans are source-identical
+      // and the codegen cache hits from step 2 on. Same Int value → same
+      // xxhash64 draws as the literal form.
+      val stepParams = Seq(step).toDF("_step")
+      val withNbrs = walks.crossJoin(broadcast(stepParams))
         .join(adj.select(col("id").as("current"), col("neighbors")),
           Seq("current"), "left_outer")
         .select(col("walkId"), col("start"), col("path"), col("neighbors"),
+          col("_step"),
           (col("stopped") || col("neighbors").isNull ||
             size(col("neighbors")) === 0).as("stopped"))
 
       val chosen =
         if (!biased)
           element_at(col("neighbors"),
-            (pmod(xxhash64(col("walkId"), lit(step), lit(config.seed)),
+            (pmod(xxhash64(col("walkId"), col("_step"), lit(config.seed)),
               size(col("neighbors")).cast("long")) + 1).cast("int"))
         else col("chosenNbr")
 
@@ -83,7 +94,7 @@ object RandomWalk {
              when(size(col("path")) >= 2, element_at(col("path"), -2)))
              .join(adj.select(col("id").as("prev"), col("neighbors").as("prevNbrs")),
                Seq("prev"), "left_outer")
-           val u01 = pmod(xxhash64(col("walkId"), lit(step), lit(config.seed)),
+           val u01 = pmod(xxhash64(col("walkId"), col("_step"), lit(config.seed)),
              lit(1000000L)).cast("double") / 1e6
            withPrev
              .withColumn("ws", expr(

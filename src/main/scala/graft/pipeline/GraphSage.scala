@@ -25,14 +25,17 @@ import org.apache.spark.sql.functions._
  *  - positive pairs ride [[graft.algos.RandomWalk]]; the degree^0.75
  *    negative distribution reuses [[Node2Vec.unigramTable]].
  *
- * Deliberate substitutions (documented, not gaps): training optimizes a
- * SINGLE mean-aggregator layer with identity activation (the analytic
- * gradient stays exact; the reference trains multi-layer relu/sigmoid via
- * its ddl4j autodiff) and plain SGD instead of Adam; `forwardLayers`
- * supports multi-layer relu/sigmoid/identity stacks over stored weights
+ * Two trainers: [[train]] is the r4 single-layer identity-activation
+ * fast path (one exact-analytic-gradient aggregation per step);
+ * [[trainLayers]] is the reference's full surface — multi-layer
+ * mean-aggregator stacks with relu/sigmoid/identity and Adam, gradients
+ * by exact backprop through the mean aggregation (finite-difference
+ * verified). `forwardLayers` runs inference stacks over stored weights
  * with BOTH reference aggregators (mean and max-pooling), and weights
  * live in the [[graft.core.ModelCatalog]] contract as embedding-producing
- * models. Draws are xxhash64-deterministic like Node2Vec/FastRP.
+ * models. Draws are xxhash64-deterministic like Node2Vec/FastRP. The
+ * remaining documented substitution: full-neighborhood means instead of
+ * the reference's sampled neighborhoods (sampleSizes).
  */
 object GraphSage {
 
@@ -57,23 +60,38 @@ object GraphSage {
       embeddings: DataFrame)
 
   private def wide(features: DataFrame, prefix: String): (DataFrame, Int) = {
-    val dim = features.select(size(col("features"))).head().getInt(0)
+    // headOption, not head(): an empty feature frame (e.g. CLI run against
+    // an empty graph) must fail with a contract message, not a bare
+    // NoSuchElementException from Row iteration.
+    val first = features.select(size(col("features"))).head(1)
+    require(first.nonEmpty,
+      "GraphSage needs a non-empty feature frame (id, features: array<double>); " +
+        "got 0 rows — is the graph empty?")
+    val dim = first.head.getInt(0)
     (features.select(col("id") +:
       (0 until dim).map(j => col("features")(j).as(s"$prefix$j")): _*), dim)
+  }
+
+  /** The (src, dst) contribution pairs behind `meanState`: every distinct
+   *  oriented edge plus one self-loop per node — h(src) feeds m(dst). */
+  private[graft] def contribPairs(graph: PropertyGraph,
+      orientation: Orientation): DataFrame = {
+    val e = graph.oriented(orientation).select(col("src"), col("dst")).distinct()
+    e.unionByName(graph.nodes.select(col("id").as("src"), col("id").as("dst")))
   }
 
   /** mean({h(v)} ∪ {h(u), u ∈ N(v)}) over wide columns: one union with the
    *  self rows, one avg aggregation — MultiMean.java re-expressed. Nodes
    *  absent from `h` contribute nothing (treated as absent, not zero). */
   private[graft] def meanState(graph: PropertyGraph, h: DataFrame,
-      cols: Seq[String], orientation: Orientation): DataFrame = {
-    val e = graph.oriented(orientation).select(col("src"), col("dst")).distinct()
-    val contribs = e.unionByName(
-      graph.nodes.select(col("id").as("src"), col("id").as("dst")))
+      cols: Seq[String], orientation: Orientation): DataFrame =
+    meanAgg(contribPairs(graph, orientation), h, cols)
+
+  private def meanAgg(contribs: DataFrame, h: DataFrame,
+      cols: Seq[String]): DataFrame =
     contribs.join(h.withColumnRenamed("id", "src"), Seq("src"))
       .groupBy(col("dst").as("id"))
       .agg(avg(cols.head).as(cols.head), cols.tail.map(c => avg(c).as(c)): _*)
-  }
 
   private def activate(c: Column, activation: String): Column = activation match {
     case "relu"     => greatest(c, lit(0.0))
@@ -327,5 +345,312 @@ object GraphSage {
       .cutLineage() // materialize off m so the mean state can be released
     Lineage.release(m)
     TrainResult(w, losses.toSeq, emb)
+  }
+
+  // ------------------------------------------------------------------
+  // Multi-layer training (closes the r4 single-layer substitution):
+  // full backprop through a mean-aggregator stack with relu / sigmoid /
+  // identity activations and the reference's Adam optimizer
+  // (GraphSageModelTrainer.java:52 trains Layer stacks through ddl4j
+  // autodiff + AdamOptimizer). Spark-first: the chain rule through
+  // mean-aggregation is just the TRANSPOSED aggregation — δh_{k−1}(src) =
+  // Σ_{(src,dst)} δm_k(dst)/cnt(dst) over the same contribution pairs the
+  // forward pass averaged over (self-loops included), so one backward
+  // layer costs exactly one forward meanState: a join + fixed-width agg.
+  // W_k gradients are d_out×d_in sum columns (one wide aggregation per
+  // layer), and the optimizer state lives driver-side with the small
+  // matrices. Gradients are EXACT (verified against central finite
+  // differences in GraphSageSpec); the remaining documented substitution
+  // vs the reference is full-neighborhood means instead of sampled
+  // neighborhoods (sampleSizes) — deterministic, and the sampled variant's
+  // estimator converges to it.
+  // ------------------------------------------------------------------
+
+  final case class TrainLayersConfig(
+      layerDims: Seq[Int] = Seq(16, 16),
+      activation: String = "sigmoid",   // the reference's default
+      epochs: Int = 5,
+      batchesPerEpoch: Int = 1,
+      learningRate: Double = 0.05,
+      optimizer: String = "adam",       // "adam" | "sgd"
+      beta1: Double = 0.9,
+      beta2: Double = 0.999,
+      adamEps: Double = 1e-8,
+      negativeSamplingRate: Int = 1,
+      searchDepth: Int = 3,
+      unigramTableSize: Int = 1 << 14,
+      seed: Long = 42L,
+      orientation: Orientation = Orientation.Undirected)
+
+  final case class TrainLayersResult(
+      layers: Seq[MeanLayer],
+      losses: Seq[Double],
+      embeddings: DataFrame)
+
+  /** d act(a)/da expressed in terms of h = act(a) — avoids materializing
+   *  pre-activations (relu: h>0 ⇔ a>0; sigmoid: σ' = h(1−h)). */
+  private def activateDeriv(h: Column, activation: String): Column =
+    activation match {
+      case "relu"     => when(h > 0.0, lit(1.0)).otherwise(lit(0.0))
+      case "sigmoid"  => h * (lit(1.0) - h)
+      case "identity" => lit(1.0)
+      case other => throw new IllegalArgumentException(s"unknown activation: $other")
+    }
+
+  /** Forward pass retaining per-layer mean states and activations
+   *  (needed by backprop). Returned frames are checkpointed; caller
+   *  releases. dims = d_in +: layerDims. `sharedM1` is the FIRST layer's
+   *  mean state, which depends only on the fixed input features — the
+   *  training loop computes it once and reuses it every step (at scale
+   *  it is the job's single largest aggregation); when supplied it is
+   *  used as ms(0) and must not be released by the per-step caller. */
+  private def forwardStates(contribs: DataFrame, h0: DataFrame,
+      dims: Seq[Int], ws: Seq[Weights], activation: String,
+      sharedM1: Option[DataFrame] = None)
+      : (Vector[DataFrame], Vector[DataFrame]) = {
+    var h = h0
+    var ms = Vector.empty[DataFrame]
+    var hs = Vector.empty[DataFrame]
+    for ((w, k) <- ws.zipWithIndex) {
+      val m =
+        if (k == 0 && sharedM1.isDefined) sharedM1.get
+        else meanAgg(contribs, h, (0 until dims(k)).map(j => s"f$j"))
+          .cutLineage()
+      val hNext = applyWeights(m, w, activation).cutLineage()
+      ms :+= m
+      hs :+= hNext
+      h = hNext
+    }
+    (ms, hs)
+  }
+
+  /** Mean unsupervised loss of the current stack on `samples`
+   *  (c, x, label) — one lazy plan, one action. Used by the
+   *  finite-difference gradient check. */
+  private[graft] def lossOnly(contribs: DataFrame, h0: DataFrame,
+      dims: Seq[Int], ws: Seq[Weights], activation: String,
+      samples: DataFrame): Double = {
+    var h = h0
+    for ((w, k) <- ws.zipWithIndex)
+      h = applyWeights(meanAgg(contribs, h, (0 until dims(k)).map(j => s"f$j")),
+        w, activation)
+    val dL = ws.last.length
+    val ecols = (0 until dL).map(j => s"f$j")
+    val joined = samples
+      .join(h.select(col("id").as("c") +:
+        ecols.map(j => col(j).as(s"ec_$j")): _*), Seq("c"))
+      .join(h.select(col("id").as("x") +:
+        ecols.map(j => col(j).as(s"ex_$j")): _*), Seq("x"))
+    val dot = ecols.map(j => col(s"ec_$j") * col(s"ex_$j")).reduce(_ + _)
+    val row = joined.withColumn("dot", dot)
+      .withColumn("z", col("dot") * (col("label") * 2.0 - 1.0))
+      .agg(avg(greatest(lit(0.0), -col("z")) + log1p(exp(-abs(col("z")))))
+        .as("loss"))
+      .head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Exact gradient of the mean unsupervised loss w.r.t. every W_k, by
+   *  backprop through the mean-aggregator stack.
+   *  @return (mean loss, sample count, dW per layer — descent direction) */
+  private[graft] def lossAndGrads(contribs: DataFrame, cnt: DataFrame,
+      h0: DataFrame, dims: Seq[Int], ws: Seq[Weights], activation: String,
+      samples: DataFrame, sharedM1: Option[DataFrame] = None)
+      : (Double, Long, Seq[Weights]) = {
+    val L = ws.length
+    val (ms, hs) = forwardStates(contribs, h0, dims, ws, activation, sharedM1)
+    def releaseStates(): Unit = {
+      // ms(0) may be the caller's shared first-layer mean state
+      ms.drop(if (sharedM1.isDefined) 1 else 0).foreach(Lineage.release)
+      hs.foreach(Lineage.release)
+    }
+    val dL = ws.last.length
+    val ecols = (0 until dL).map(j => s"f$j")
+    val e = hs.last
+    val joined = samples
+      .join(e.select(col("id").as("c") +:
+        ecols.map(j => col(j).as(s"ec_$j")): _*), Seq("c"))
+      .join(e.select(col("id").as("x") +:
+        ecols.map(j => col(j).as(s"ex_$j")): _*), Seq("x"))
+    val dot = ecols.map(j => col(s"ec_$j") * col(s"ex_$j")).reduce(_ + _)
+    val z = col("dot") * (col("label") * 2.0 - 1.0)
+    // q = dL_sample/d(dot) = σ(dot) − label (positive AND negative case)
+    val scored = joined.withColumn("dot", dot)
+      .withColumn("q", lit(1.0) / (lit(1.0) + exp(-col("dot"))) - col("label"))
+      .withColumn("lossv", greatest(lit(0.0), -z) + log1p(exp(-abs(z))))
+      .cutLineage()
+    val lossRow = scored.agg(sum("lossv").as("ls"), count(lit(1)).as("n")).head()
+    val n = lossRow.getAs[Long]("n")
+    if (n == 0L) {
+      Lineage.release(scored); releaseStates()
+      return (0.0, 0L, ws.map(w => Array.fill(w.length, w.head.length)(0.0)))
+    }
+    val meanLoss = lossRow.getAs[Double]("ls") / n
+
+    // δh_L(v) = (1/n) Σ_samples q · e_other — each endpoint of each sample
+    def endpointDelta(endpoint: String, other: String): DataFrame =
+      scored.groupBy(col(endpoint).as("id"))
+        .agg(sum(col("q") * col(s"e${other}_f0")).as("d0"),
+          (1 until dL).map(j =>
+            sum(col("q") * col(s"e${other}_f$j")).as(s"d$j")): _*)
+    var dh = endpointDelta("c", "x").unionByName(endpointDelta("x", "c"))
+      .groupBy("id")
+      .agg(sum("d0").as("d0"), (1 until dL).map(j => sum(s"d$j").as(s"d$j")): _*)
+      .select(col("id") +: (0 until dL).map(j =>
+        (col(s"d$j") / n.toDouble).as(s"d$j")): _*)
+      .cutLineage()
+
+    val grads = new Array[Weights](L)
+    for (k <- (L - 1) to 0 by -1) {
+      val dout = ws(k).length
+      val dinK = ws(k).head.length
+      // δa = δh ⊙ act'(h_k)
+      val da = dh.join(hs(k), Seq("id"))
+        .select(col("id") +: (0 until dout).map(i =>
+          (col(s"d$i") * activateDeriv(col(s"f$i"), activation)).as(s"a$i")): _*)
+        .cutLineage()
+      Lineage.release(dh)
+      // dW_k[i][j] = Σ_v δa_i(v) · m_k(v)_j — one wide aggregation
+      val withM = da.join(ms(k), Seq("id"))
+      val gcols = for (i <- 0 until dout; j <- 0 until dinK)
+        yield sum(col(s"a$i") * col(s"f$j")).as(s"g_${i}_$j")
+      val row = withM.agg(gcols.head, gcols.tail: _*).head()
+      grads(k) = Array.tabulate(dout, dinK) { (i, j) =>
+        if (row.isNullAt(row.fieldIndex(s"g_${i}_$j"))) 0.0
+        else row.getAs[Double](s"g_${i}_$j")
+      }
+      if (k > 0) {
+        // δm = W_kᵀ·δa; backward through the mean = transposed scatter
+        // over the SAME contribution pairs (self-loop included), each
+        // weighted by the receiver's 1/cnt — then re-aggregate per src.
+        val wdelta = da.join(cnt, Seq("id"))
+          .select(col("id") +: (0 until dinK).map { j =>
+            ((0 until dout).map(i => col(s"a$i") * ws(k)(i)(j))
+              .reduce(_ + _) / col("cnt")).as(s"d$j")
+          }: _*)
+        dh = contribs.join(wdelta.withColumnRenamed("id", "dst"), Seq("dst"))
+          .select(col("src").as("id") +:
+            (0 until dinK).map(j => col(s"d$j")): _*)
+          .groupBy("id")
+          .agg(sum("d0").as("d0"),
+            (1 until dinK).map(j => sum(s"d$j").as(s"d$j")): _*)
+          .cutLineage()
+      }
+      Lineage.release(da)
+    }
+    Lineage.release(scored); releaseStates()
+    (meanLoss, n, grads.toSeq)
+  }
+
+  /**
+   * Train a multi-layer mean-aggregator stack on the unsupervised
+   * GraphSageLoss with Adam (the reference's GraphSageModelTrainer
+   * surface). Positive pairs and degree^0.75 negatives are drawn exactly
+   * like [[train]]; gradients are exact backprop (see [[lossAndGrads]]);
+   * every draw is xxhash64/murmur-deterministic. Features must cover
+   * every graph node ([[degreeFeatures]] does).
+   */
+  def trainLayers(graph: PropertyGraph, features: DataFrame,
+      config: TrainLayersConfig = TrainLayersConfig()): TrainLayersResult = {
+    require(config.layerDims.nonEmpty, "layerDims must name ≥1 layer")
+    require(Set("adam", "sgd")(config.optimizer),
+      s"unknown optimizer: ${config.optimizer}")
+    val (h0, din) = wide(features, "f")
+    val h0c = h0.cutLineage()
+    val contribs = contribPairs(graph, config.orientation).cutLineage()
+    val cnt = contribs.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("cnt")).cutLineage()
+    val dims = din +: config.layerDims
+    // the first layer's mean state never changes (h0 is fixed): compute
+    // once, reuse across every step AND the final inference pass
+    val m1 = meanAgg(contribs, h0c, (0 until din).map(j => s"f$j"))
+      .cutLineage()
+
+    val walks = RandomWalk.run(graph, RandomWalk.Config(
+      steps = config.searchDepth, walksPerNode = 1, seed = config.seed,
+      orientation = config.orientation))
+    val pairs = walks
+      .select(col("walkId"), col("start").as("c"),
+        posexplode(col("path")).as(Seq("pos", "x")))
+      .where(col("pos") > 0 && col("c") =!= col("x"))
+      .cutLineage()
+    Lineage.release(walks)
+    val deg = graph.degrees(config.orientation)
+      .select(col("id").as("node"), col("degree").cast("long").as("f"))
+      .where(col("f") > 0)
+    val table = Node2Vec.unigramTable(deg, config.unigramTableSize, 0.75)
+
+    def u01(layer: Int, x: Long): Double = {
+      val h = scala.util.hashing.MurmurHash3.productHash((config.seed, layer, x))
+      (h.toDouble / Int.MaxValue + 1.0) / 2.0
+    }
+    val ws: Array[Weights] = Array.tabulate(config.layerDims.length) { k =>
+      val dout = dims(k + 1)
+      val dinK = dims(k)
+      val scale = 1.0 / math.sqrt(dinK.toDouble)
+      Array.tabulate(dout, dinK)((i, j) =>
+        (u01(k, i.toLong * dinK + j) * 2.0 - 1.0) * scale)
+    }
+    val mMom = ws.map(w => Array.ofDim[Double](w.length, w.head.length))
+    val vMom = ws.map(w => Array.ofDim[Double](w.length, w.head.length))
+    var t = 0
+
+    val b = math.max(1, config.batchesPerEpoch)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (epoch <- 0 until config.epochs; batch <- 0 until b) {
+      val batchPairs = pairs.where(
+        pmod(xxhash64(col("walkId"), col("pos"), lit(epoch),
+          lit(config.seed + 7)), lit(b.toLong)) === batch)
+      val negs =
+        if (config.negativeSamplingRate <= 0) batchPairs.limit(0)
+          .select(col("c"), col("x"), lit(0.0).as("label"))
+        else batchPairs
+          .select(col("walkId"), col("pos"), col("c"),
+            explode(sequence(lit(1), lit(config.negativeSamplingRate))).as("rep"))
+          .select(col("walkId"), col("pos"), col("c"),
+            pmod(xxhash64(col("walkId"), col("pos"), col("rep"), lit(epoch),
+              lit(config.seed + 8)), lit(config.unigramTableSize.toLong)).as("bucket"))
+          .join(broadcast(table), Seq("bucket"))
+          .select(col("c"), col("node").as("x"), lit(0.0).as("label"))
+      val samples = batchPairs.select(col("c"), col("x"), lit(1.0).as("label"))
+        .unionByName(negs)
+      val (meanLoss, n, grads) =
+        lossAndGrads(contribs, cnt, h0c, dims, ws.toSeq, config.activation,
+          samples, sharedM1 = Some(m1))
+      if (n > 0L) {
+        t += 1
+        for (k <- ws.indices; i <- ws(k).indices; j <- ws(k)(i).indices) {
+          val g = grads(k)(i)(j)
+          if (config.optimizer == "adam") {
+            mMom(k)(i)(j) = config.beta1 * mMom(k)(i)(j) + (1 - config.beta1) * g
+            vMom(k)(i)(j) = config.beta2 * vMom(k)(i)(j) + (1 - config.beta2) * g * g
+            val mHat = mMom(k)(i)(j) / (1 - math.pow(config.beta1, t))
+            val vHat = vMom(k)(i)(j) / (1 - math.pow(config.beta2, t))
+            ws(k)(i)(j) -= config.learningRate * mHat / (math.sqrt(vHat) + config.adamEps)
+          } else ws(k)(i)(j) -= config.learningRate * g
+        }
+      }
+      losses += meanLoss
+      System.err.println(f"[graphsage-layers] epoch=$epoch batch=$batch " +
+        f"samples=$n meanLoss=$meanLoss%.5f")
+    }
+    Lineage.release(pairs); Lineage.release(table)
+    val layers = ws.toSeq.map(w => MeanLayer(w, config.activation))
+    // final embeddings reuse the shared first-layer mean state instead of
+    // re-deriving the whole stack through forwardLayers
+    val (msF, hsF) = forwardStates(contribs, h0c, dims, ws.toSeq,
+      config.activation, Some(m1))
+    val dL = dims.last
+    val ecols = (0 until dL).map(j => col(s"f$j"))
+    val n2 = ecols.map(c => c * c).reduce(_ + _)
+    val emb = hsF.last.withColumn("_n", sqrt(n2))
+      .select(col("id"),
+        array(ecols.map(c => when(col("_n") > 0.0, c / col("_n"))
+          .otherwise(0.0)): _*).as("embedding"))
+      .cutLineage()
+    msF.drop(1).foreach(Lineage.release); hsF.foreach(Lineage.release)
+    Lineage.release(m1); Lineage.release(cnt)
+    Lineage.release(contribs); Lineage.release(h0c)
+    TrainLayersResult(layers, losses.toSeq, emb)
   }
 }

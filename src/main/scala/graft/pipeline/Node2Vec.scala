@@ -140,28 +140,39 @@ object Node2Vec {
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
     var step = 0
+    import spark.implicits._
     for (iter <- 0 until config.iterations; batch <- 0 until b) {
       val lr = config.initialLearningRate -
         (config.initialLearningRate - config.minLearningRate) *
           (step.toDouble / totalSteps)
-      val batchPairs = pairs.where(
-        pmod(xxhash64(col("walkId"), col("ci"), col("xi"), lit(iter),
-          lit(config.seed + 5)), lit(b.toLong)) === batch)
+      // (lr, iter, batch) ride a ONE-ROW broadcast parameter table instead
+      // of plan literals: a literal lr makes every SGD step a brand-new
+      // plan that re-generates and re-JITs the 2·dim-column codegen (the
+      // fresh-JVM 2-3× trainer cold-start documented in BASELINE.md); as
+      // attributes the step plans are source-identical, so the codegen
+      // cache hits from step 2 on. Same values → same xxhash64 draws as
+      // the literal form (iter/batch stay Int-typed for hash parity).
+      val params = Seq((lr, iter, batch)).toDF("_lr", "_iter", "_batch")
+      val batchPairs = pairs.crossJoin(broadcast(params)).where(
+        pmod(xxhash64(col("walkId"), col("ci"), col("xi"), col("_iter"),
+          lit(config.seed + 5)), lit(b.toLong)) === col("_batch"))
       // negativeSamplingRate = 0 must yield NO negatives — Spark's
       // sequence(1, 0) is the DESCENDING array [1, 0], not empty.
       val negs =
         if (config.negativeSamplingRate <= 0) batchPairs.limit(0)
-          .select(col("c"), col("x"), lit(0.0).as("label"))
+          .select(col("c"), col("x"), lit(0.0).as("label"), col("_lr"))
         else batchPairs
-          .select(col("walkId"), col("ci"), col("xi"), col("c"),
+          .select(col("walkId"), col("ci"), col("xi"), col("c"), col("_lr"),
+            col("_iter"),
             explode(sequence(lit(1), lit(config.negativeSamplingRate))).as("rep"))
-          .select(col("c"),
+          .select(col("c"), col("_lr"),
             pmod(xxhash64(col("walkId"), col("ci"), col("xi"), col("rep"),
-              lit(iter), lit(config.seed + 6)),
+              col("_iter"), lit(config.seed + 6)),
               lit(config.unigramTableSize.toLong)).as("bucket"))
           .join(broadcast(table), Seq("bucket"))
-          .select(col("c"), col("node").as("x"), lit(0.0).as("label"))
-      val samples = batchPairs.select(col("c"), col("x"), lit(1.0).as("label"))
+          .select(col("c"), col("node").as("x"), lit(0.0).as("label"), col("_lr"))
+      val samples = batchPairs
+        .select(col("c"), col("x"), lit(1.0).as("label"), col("_lr"))
         .unionByName(negs)
 
       // one pass: join both tables, score, checkpoint; loss rides the
@@ -173,7 +184,7 @@ object Node2Vec {
         .join(center.withColumnRenamed("id", "c"), Seq("c"))
         .join(context.withColumnRenamed("id", "x"), Seq("x"))
         .withColumn("dot", dotExpr)
-        .withColumn("g", lit(lr) * (col("label") - lit(1.0) / (lit(1.0) + exp(-col("dot")))))
+        .withColumn("g", col("_lr") * (col("label") - lit(1.0) / (lit(1.0) + exp(-col("dot")))))
         // stable -log σ(z) = max(0,−z) + log1p(exp(−|z|))
         .withColumn("loss", greatest(lit(0.0), -z) + log1p(exp(-abs(z))))
         .observe(obs, sum(col("loss")).as("loss"), count(lit(1)).as("n"))
@@ -274,14 +285,27 @@ object Node2Vec {
    * DISTRIBUTED prefix scan (range-partition by node id, per-partition
    * running sum, broadcast per-partition offsets — one collected row per
    * partition, never the vocabulary), then `sequence`-exploded into
-   * (bucket, node). Adjacent ranges share the exact same cumulative double
+   * (bucket, node). Adjacent ranges share the exact same cumulative value
    * (cumPrev = lag(cum) + the same offset), so ⌈cumPrev·T/W⌉ …
-   * ⌈cum·T/W⌉−1 partitions [0, T) without float gaps or overlaps.
+   * ⌈cum·T/W⌉−1 partitions [0, T) without gaps or overlaps.
+   *
+   * The f^α weights are quantized to SCALED LONGS (×2^20) before the scan
+   * — the reference's contextDistribution is likewise an integer
+   * cumulative array. Double prefix sums would depend on how
+   * repartitionByRange's sampled boundaries group the additions (ULP
+   * drift could flip a ceil() bucket at a quantile boundary under a
+   * different input partitioning); integer sums are exact and
+   * order-independent, so the table is bit-identical at any parallelism.
+   * ⌈cum·T/W⌉ runs in decimal(38,0) — cum·T can pass 2^63 at full
+   * vocabulary scale (Σf^0.75 ≲ n^¼·(Σf)^¾ ≈ 2e11 at 10^12 tokens,
+   * ×2^20 ×T overflows long).
    */
   private[graft] def unigramTable(freq: DataFrame, tableSize: Int,
       exponent: Double): DataFrame = {
+    val quantScale = (1L << 20).toDouble
     val weighted = freq.select(col("node"),
-      pow(col("f").cast("double"), exponent).as("w"))
+      greatest(round(pow(col("f").cast("double"), exponent) * quantScale),
+        lit(1.0)).cast("long").as("w"))
     val parted = weighted.repartitionByRange(col("node"))
       .sortWithinPartitions("node")
       .withColumn("_p", spark_partition_id())
@@ -290,24 +314,37 @@ object Node2Vec {
     val local = parted
       .withColumn("_cum", sum(col("w")).over(
         pw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("_prev", coalesce(lag(col("_cum"), 1).over(pw), lit(0.0)))
+      .withColumn("_prev", coalesce(lag(col("_cum"), 1).over(pw), lit(0L)))
       .cutLineage()
     Lineage.release(parted)
     val partTotals = local.groupBy("_p").agg(max("_cum").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
     val grandTotal = partTotals.map(_._2).sum
     val offsets = {
-      var acc = 0.0
+      var acc = 0L
       partTotals.map { case (p, t) => val off = (p, acc); acc += t; off }
     }
     val spark = freq.sparkSession
     import spark.implicits._
     val offDf = offsets.toDF("_p", "_off")
-    val t = lit(tableSize.toLong)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // exact ⌈a·T/W⌉ in decimal(38,0) — a·T can exceed 2^63 at full
+    // vocabulary scale. NOT ⌊(a·T+W−1)/W⌋: decimal division rounds at
+    // scale 6, so the near-integer (a·T+W−1)/W rounds UP and the floor
+    // overshoots (measured: bucket 0 unassigned, negatives silently
+    // dropped by the table join). Subtracting the pmod remainder first
+    // makes the quotient an exact integer, which scale-6 division
+    // represents exactly.
+    def ceilDivT(a: Column): Column = {
+      val prod = a.cast(dec38) * lit(tableSize.toLong)
+      val r = pmod(prod, lit(grandTotal))
+      ((prod - r) / lit(grandTotal)).cast("long") +
+        when(r > 0, lit(1L)).otherwise(lit(0L))
+    }
     val cum = col("_cum") + col("_off")
     val cumPrev = col("_prev") + col("_off")
-    val lo = greatest(ceil(cumPrev * t / grandTotal), lit(0L))
-    val hi = least(ceil(cum * t / grandTotal) - 1L, lit(tableSize - 1L))
+    val lo = greatest(ceilDivT(cumPrev), lit(0L))
+    val hi = least(ceilDivT(cum) - 1L, lit(tableSize - 1L))
     val table = local.join(broadcast(offDf), Seq("_p"))
       .select(col("node"),
         when(hi >= lo, sequence(lo, hi)).otherwise(array().cast("array<bigint>"))

@@ -175,13 +175,26 @@ object Similarity {
       similarityCutoff: Double = Double.NegativeInfinity,
       sourceIds: Option[DataFrame] = None, // (id)
       targetIds: Option[DataFrame] = None, // (id)
-      metric: String = "cosine")
+      metric: String = "cosine",
+      maxUnrestrictedItems: Long = 200000L) // all-pairs guard (below)
 
   /** @return (item1, item2, similarity, rank) — rank 1..K per item1 */
   def proc(items: DataFrame, config: ProcConfig = ProcConfig(),
       idCol: String = "item", weightsCol: String = "weights"): DataFrame = {
     require(Set("cosine", "euclidean", "pearson", "overlap")(config.metric),
       s"unknown metric: ${config.metric}")
+    // all-pairs is the reference's semantics and the id restrictions are
+    // its scale lever — but nothing used to ENFORCE a restriction, so an
+    // unrestricted call on a big table was a silent cartesian. Same
+    // self-defending contract as Traversal.traverse's collect guard: the
+    // one count() action is noise next to the crossJoin it authorizes.
+    if (config.sourceIds.isEmpty && config.targetIds.isEmpty) {
+      val n = items.count()
+      require(n <= config.maxUnrestrictedItems,
+        s"similarity.proc without sourceIds/targetIds is all-pairs O(n^2); " +
+          s"n=$n exceeds maxUnrestrictedItems=${config.maxUnrestrictedItems}. " +
+          s"Restrict ids, raise the bound explicitly, or use lshTopK/ivfTopK.")
+    }
     // cosine precomputes per-vector norms (one array pass per VECTOR, not
     // three per PAIR — the same optimization as bruteForceTopK, r2).
     val v0 = items.select(col(idCol).as("id"),

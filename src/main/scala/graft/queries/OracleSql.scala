@@ -715,6 +715,15 @@ SELECT CAST(count(*) AS BIGINT) AS nodes, true AS dim_8,
        CAST(0 AS BIGINT) AS unit_norm_violations, true AS loss_decreased
 FROM nodes"""
 
+  /** Property oracle (graphsage_train_check): the multi-layer Adam
+   *  trainer (2-layer sigmoid stack, exact backprop) must produce one
+   *  L2-normalized dim-8 embedding per graph node and descend the
+   *  unsupervised loss; Spark measures its actual trajectory/dims/norms. */
+  val graphsageTrainCheck: String = graphCte + """
+SELECT CAST(count(*) AS BIGINT) AS nodes, true AS dim_8,
+       CAST(0 AS BIGINT) AS unit_norm_violations, true AS loss_decreased
+FROM nodes"""
+
   /** Property oracle (random_walk_check): walksPerNode = 1 ⇒ one walk per
    *  graph node, and every hop must follow a real directed edge (Spark
    *  anti-joins its actual hops against the Natural edge set). */
@@ -833,6 +842,7 @@ WHERE list_inner_product(a.e, b.e) /
     "fastrp_check" -> fastrpCheck,
     "node2vec_check" -> node2vecCheck,
     "graphsage_check" -> graphsageCheck,
+    "graphsage_train_check" -> graphsageTrainCheck,
     "random_walk_check" -> randomWalkCheck,
     "hyperball_check" -> hyperballCheck,
     "louvain_check" -> louvainCheck,

@@ -124,6 +124,81 @@ class GraphSageSpec extends SparkSpec {
       .head().getInt(0) === 4)
   }
 
+  test("multi-layer backprop gradients match central finite differences") {
+    // the crown-jewel correctness check for trainLayers: for every W entry
+    // of a 2-layer stack, the analytic backprop gradient must agree with
+    // (L(w+ε) − L(w−ε)) / 2ε on a fixed sample set — under all three
+    // activations.
+    val g = graphOf(5, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L), (1L, 3L)))
+    val f = feats(0L -> Seq(0.5, -0.2), 1L -> Seq(0.1, 0.7),
+      2L -> Seq(-0.3, 0.4), 3L -> Seq(0.9, -0.6), 4L -> Seq(0.2, 0.2))
+    val h0 = f.select(col("id"), col("features")(0).as("f0"),
+      col("features")(1).as("f1"))
+    val contribs = GraphSage.contribPairs(g, Orientation.Undirected)
+    val cnt = contribs.groupBy(col("dst").as("id")).agg(count(lit(1)).as("cnt"))
+    val samples = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 4L, 0.0),
+      (3L, 0L, 1.0), (4L, 2L, 0.0), (1L, 4L, 0.0), (3L, 4L, 1.0))
+      .toDF("c", "x", "label")
+    val dims = Seq(2, 3, 2)
+    val ws: Seq[GraphSage.Weights] = Seq(
+      Array(Array(0.4, -0.3), Array(0.25, 0.6), Array(-0.5, 0.2)),
+      Array(Array(0.3, -0.2, 0.5), Array(-0.4, 0.6, 0.1)))
+    for (act <- Seq("sigmoid", "relu", "identity")) {
+      val (_, n, grads) =
+        GraphSage.lossAndGrads(contribs, cnt, h0, dims, ws, act, samples)
+      assert(n === 7)
+      val eps = 1e-5
+      for (k <- ws.indices; i <- ws(k).indices; j <- ws(k)(i).indices) {
+        def perturbed(delta: Double): Seq[GraphSage.Weights] = {
+          val c = ws.map(_.map(_.clone()))
+          c(k)(i)(j) += delta
+          c
+        }
+        val up = GraphSage.lossOnly(contribs, h0, dims, perturbed(eps), act, samples)
+        val dn = GraphSage.lossOnly(contribs, h0, dims, perturbed(-eps), act, samples)
+        val fd = (up - dn) / (2 * eps)
+        val an = grads(k)(i)(j)
+        assert(math.abs(fd - an) <= 1e-4 * math.max(1.0, math.abs(fd)),
+          s"$act W($k)($i)($j): analytic $an vs finite-difference $fd")
+      }
+    }
+  }
+
+  test("trainLayers: 2-layer sigmoid stack with Adam descends the loss") {
+    val c1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val c2 = for (a <- 5L to 9L; b <- 5L to 9L if a < b) yield (a, b)
+    val g = graphOf(10, c1 ++ c2 ++ Seq((4L, 5L)))
+    val res = GraphSage.trainLayers(g,
+      GraphSage.degreeFeatures(g, normalized = true),
+      GraphSage.TrainLayersConfig(layerDims = Seq(4, 4),
+        activation = "sigmoid", epochs = 10, learningRate = 0.05,
+        negativeSamplingRate = 1, searchDepth = 3, unigramTableSize = 256))
+    assert(res.losses.size === 10)
+    assert(res.losses.last < res.losses.head,
+      s"loss did not descend: ${res.losses}")
+    assert(res.layers.length === 2)
+    assert(res.layers.head.weights.length === 4 &&
+      res.layers.head.weights.head.length === 2)
+    assert(res.layers(1).weights.length === 4 &&
+      res.layers(1).weights.head.length === 4)
+    val emb = res.embeddings.collect()
+    assert(emb.length === 10)
+    assert(res.embeddings.select(size(col("embedding"))).distinct()
+      .head().getInt(0) === 4)
+  }
+
+  test("trainLayers weights reproducible across input partitionings (1e-6)") {
+    val g = graphOf(6, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L)))
+    val cfg = GraphSage.TrainLayersConfig(layerDims = Seq(3, 2),
+      activation = "relu", epochs = 2, unigramTableSize = 128)
+    val a = GraphSage.trainLayers(g, GraphSage.degreeFeatures(g), cfg).layers
+    val g2 = PropertyGraph(g.nodes.repartition(3), g.edges.repartition(5))
+    val b = GraphSage.trainLayers(g2, GraphSage.degreeFeatures(g2), cfg).layers
+    for (k <- a.indices; i <- a(k).weights.indices; j <- a(k).weights(i).indices)
+      assert(math.abs(a(k).weights(i)(j) - b(k).weights(i)(j)) <= 1e-6,
+        s"W($k)($i)($j): ${a(k).weights(i)(j)} vs ${b(k).weights(i)(j)}")
+  }
+
   test("trained weights reproducible across input partitionings (1e-6)") {
     val g = graphOf(6, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L)))
     val cfg = GraphSage.Config(embeddingSize = 3, epochs = 2,

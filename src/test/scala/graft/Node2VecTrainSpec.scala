@@ -158,6 +158,46 @@ class Node2VecTrainSpec extends SparkSpec {
     assert(withNegs.sampleCounts.head === res.sampleCounts.head * 3)
   }
 
+  test("SGD step plans are codegen-cache-identical across steps (lr rides a param table)") {
+    import org.apache.spark.metrics.source.CodegenMetrics
+    val g = twoCliques
+    // marginal compilations per EXTRA step must be ~0: with (lr, iter,
+    // batch) bound as a broadcast param table the step plans are
+    // source-identical, so steps 2..N hit the codegen cache; with lr as a
+    // plan literal each step re-generates and re-JITs the wide gradient
+    // codegen (the fresh-JVM 2-3× trainer cold-start, BASELINE.md
+    // calibration note). Measured as a within-run delta — two separate
+    // runs would straddle the 100-entry codegen LRU (RandomWalk's
+    // supersteps alone evict it) and count fixed costs, not per-step.
+    def compilations(iterations: Int): Long = {
+      val before = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      Node2Vec.runWithStats(g, trainCfg.copy(iterations = iterations))
+      CodegenMetrics.METRIC_COMPILATION_TIME.getCount - before
+    }
+    val twoSteps = compilations(2)
+    val sixSteps = compilations(6)
+    val perExtraStep = (sixSteps - twoSteps) / 4.0
+    assert(perExtraStep <= 2.0,
+      s"each extra SGD step compiled ~$perExtraStep new codegen units " +
+        s"($twoSteps for 2 steps, $sixSteps for 6) — step plans are no " +
+        "longer cache-identical")
+    // RandomWalk's supersteps carry the same property (the step number
+    // rides a param table, not a literal).
+    def walkCompilations(steps: Int): Long = {
+      val before = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      graft.algos.RandomWalk.run(g, graft.algos.RandomWalk.Config(
+        steps = steps, walksPerNode = 2, seed = 11L,
+        orientation = Orientation.Undirected)).count()
+      CodegenMetrics.METRIC_COMPILATION_TIME.getCount - before
+    }
+    val threeWalkSteps = walkCompilations(3)
+    val nineWalkSteps = walkCompilations(9)
+    val perExtraWalkStep = (nineWalkSteps - threeWalkSteps) / 6.0
+    assert(perExtraWalkStep <= 2.0,
+      s"each extra walk superstep compiled ~$perExtraWalkStep new codegen " +
+        s"units ($threeWalkSteps for 3 steps, $nineWalkSteps for 9)")
+  }
+
   test("graph with no edges yields untrained init embeddings for every node") {
     val g = graphOf(3, Seq.empty)
     val res = Node2Vec.runWithStats(g,
