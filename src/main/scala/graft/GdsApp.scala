@@ -93,9 +93,17 @@ object GdsApp {
             // without it the single-layer identity fast path runs.
             opts2.get("layers") match {
               case Some(spec) =>
+                if (opts2.contains("dim"))
+                  sys.error("--dim and --layers are exclusive: the " +
+                    "multi-layer trainer's output dim is the last --layers entry")
+                val dimsParsed = spec.split(',').map(_.trim).filter(_.nonEmpty)
+                  .map(d => d.toIntOption.getOrElse(
+                    sys.error(s"--layers expects comma-separated ints, got '$spec'")))
+                if (dimsParsed.isEmpty)
+                  sys.error(s"--layers expects comma-separated ints, got '$spec'")
                 graft.pipeline.GraphSage.trainLayers(g, feats,
                   graft.pipeline.GraphSage.TrainLayersConfig(
-                    layerDims = spec.split(',').map(_.trim.toInt).toSeq,
+                    layerDims = dimsParsed.toSeq,
                     activation = opts2.getOrElse("activation", "sigmoid"),
                     epochs = opts2.getOrElse("epochs", "5").toInt)).embeddings
               case None =>

@@ -169,12 +169,7 @@ object GraphSage {
       h = next
       dim = layer.outDim
     }
-    val cols = (0 until dim).map(j => col(s"f$j"))
-    val n2 = cols.map(c => c * c).reduce(_ + _)
-    h.withColumn("_n", sqrt(n2))
-      .select(col("id"),
-        array(cols.map(c => when(col("_n") > 0.0, c / col("_n"))
-          .otherwise(0.0)): _*).as("embedding"))
+    normalizedEmbedding(h, dim)
   }
 
   private def applyPool(graph: PropertyGraph, h: DataFrame, dim: Int,
@@ -228,6 +223,64 @@ object GraphSage {
           .as("features"))
   }
 
+  /** Positive pairs (start, node within `searchDepth` hops on the start's
+   *  random walk) + the degree^0.75 unigram negative table — the ONE
+   *  sampling surface shared by both trainers (seeds and salts included),
+   *  so their draws can never silently diverge. Caller releases both. */
+  private def trainingSamples(graph: PropertyGraph, searchDepth: Int,
+      unigramTableSize: Int, seed: Long, orientation: Orientation)
+      : (DataFrame, DataFrame) = {
+    val walks = RandomWalk.run(graph, RandomWalk.Config(
+      steps = searchDepth, walksPerNode = 1, seed = seed,
+      orientation = orientation))
+    val pairs = walks
+      .select(col("walkId"), col("start").as("c"),
+        posexplode(col("path")).as(Seq("pos", "x")))
+      .where(col("pos") > 0 && col("c") =!= col("x"))
+      .cutLineage()
+    Lineage.release(walks)
+    val deg = graph.degrees(orientation)
+      .select(col("id").as("node"), col("degree").cast("long").as("f"))
+      .where(col("f") > 0)
+    (pairs, Node2Vec.unigramTable(deg, unigramTableSize, 0.75))
+  }
+
+  /** One (epoch, batch) sample set (c, x, label): the hash-drawn batch of
+   *  positives plus `negRate` fresh unigram negatives per positive. */
+  private def batchSamples(pairs: DataFrame, table: DataFrame, epoch: Int,
+      batch: Int, batches: Int, negRate: Int, tableSize: Int,
+      seed: Long): DataFrame = {
+    val batchPairs = pairs.where(
+      pmod(xxhash64(col("walkId"), col("pos"), lit(epoch),
+        lit(seed + 7)), lit(batches.toLong)) === batch)
+    // sequence(1, 0) is the DESCENDING [1, 0], not empty — rate 0 must
+    // produce no negatives (same guard as Node2Vec).
+    val negs =
+      if (negRate <= 0) batchPairs.limit(0)
+        .select(col("c"), col("x"), lit(0.0).as("label"))
+      else batchPairs
+        .select(col("walkId"), col("pos"), col("c"),
+          explode(sequence(lit(1), lit(negRate))).as("rep"))
+        .select(col("walkId"), col("pos"), col("c"),
+          pmod(xxhash64(col("walkId"), col("pos"), col("rep"), lit(epoch),
+            lit(seed + 8)), lit(tableSize.toLong)).as("bucket"))
+        .join(broadcast(table), Seq("bucket"))
+        .select(col("c"), col("node").as("x"), lit(0.0).as("label"))
+    batchPairs.select(col("c"), col("x"), lit(1.0).as("label"))
+      .unionByName(negs)
+  }
+
+  /** L2-normalize wide columns f0..f{dim−1} into (id, embedding);
+   *  all-zero rows map to the zero vector. */
+  private def normalizedEmbedding(h: DataFrame, dim: Int): DataFrame = {
+    val cols = (0 until dim).map(j => col(s"f$j"))
+    val n2 = cols.map(c => c * c).reduce(_ + _)
+    h.withColumn("_n", sqrt(n2))
+      .select(col("id"),
+        array(cols.map(c => when(col("_n") > 0.0, c / col("_n"))
+          .otherwise(0.0)): _*).as("embedding"))
+  }
+
   /**
    * Train one mean-aggregator layer on the unsupervised GraphSageLoss.
    * Positive pair for v = each node on v's random walk of `searchDepth`
@@ -250,23 +303,12 @@ object GraphSage {
     val m = meanState(graph, h0c, mcols, config.orientation).cutLineage()
     Lineage.release(h0c)
 
-    // positive pairs: (start, node reached within searchDepth)
-    val walks = RandomWalk.run(graph, RandomWalk.Config(
-      steps = config.searchDepth, walksPerNode = 1, seed = config.seed,
-      orientation = config.orientation))
-    val pairs = walks
-      .select(col("walkId"), col("start").as("c"),
-        posexplode(col("path")).as(Seq("pos", "x")))
-      .where(col("pos") > 0 && col("c") =!= col("x"))
-      .cutLineage()
-    Lineage.release(walks)
-
-    // negative distribution ∝ degree^0.75 (the trainer's
-    // degreeProbabilityNormalizer semantics), via the unigram table.
-    val deg = graph.degrees(config.orientation)
-      .select(col("id").as("node"), col("degree").cast("long").as("f"))
-      .where(col("f") > 0)
-    val table = Node2Vec.unigramTable(deg, config.unigramTableSize, 0.75)
+    // positive pairs within searchDepth + degree^0.75 unigram negatives
+    // (the trainer's degreeProbabilityNormalizer semantics) — ONE
+    // sampling surface shared with trainLayers so the trainers' draws
+    // can never silently diverge
+    val (pairs, table) = trainingSamples(graph, config.searchDepth,
+      config.unigramTableSize, config.seed, config.orientation)
 
     // init W deterministically, uniform [-1/√din, 1/√din)
     def u01(x: Long): Double = {
@@ -280,24 +322,8 @@ object GraphSage {
     val b = math.max(1, config.batchesPerEpoch)
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (epoch <- 0 until config.epochs; batch <- 0 until b) {
-      val batchPairs = pairs.where(
-        pmod(xxhash64(col("walkId"), col("pos"), lit(epoch),
-          lit(config.seed + 7)), lit(b.toLong)) === batch)
-      // sequence(1, 0) is the DESCENDING [1, 0], not empty — rate 0 must
-      // produce no negatives (same guard as Node2Vec).
-      val negs =
-        if (config.negativeSamplingRate <= 0) batchPairs.limit(0)
-          .select(col("c"), col("x"), lit(0.0).as("label"))
-        else batchPairs
-          .select(col("walkId"), col("pos"), col("c"),
-            explode(sequence(lit(1), lit(config.negativeSamplingRate))).as("rep"))
-          .select(col("walkId"), col("pos"), col("c"),
-            pmod(xxhash64(col("walkId"), col("pos"), col("rep"), lit(epoch),
-              lit(config.seed + 8)), lit(config.unigramTableSize.toLong)).as("bucket"))
-          .join(broadcast(table), Seq("bucket"))
-          .select(col("c"), col("node").as("x"), lit(0.0).as("label"))
-      val samples = batchPairs.select(col("c"), col("x"), lit(1.0).as("label"))
-        .unionByName(negs)
+      val samples = batchSamples(pairs, table, epoch, batch, b,
+        config.negativeSamplingRate, config.unigramTableSize, config.seed)
         .join(m.select(col("id").as("c") +:
           mcols.map(j => col(j).as(s"mc_$j")): _*), Seq("c"))
         .join(m.select(col("id").as("x") +:
@@ -326,7 +352,10 @@ object GraphSage {
         losses += row.getAs[Double]("loss")
         w = Array.tabulate(dout, din)((i, j) =>
           w(i)(j) + config.learningRate * row.getAs[Double](s"gw_${i}_$j"))
-      } else losses += 0.0
+      } else
+        // carry the previous loss, not 0.0: an empty final batch would
+        // otherwise make losses.last < losses.head spuriously true
+        losses += losses.lastOption.getOrElse(0.0)
       System.err.println(f"[graphsage] epoch=$epoch batch=$batch " +
         f"samples=$nSamples meanLoss=${losses.last}%.5f")
     }
@@ -335,13 +364,7 @@ object GraphSage {
     // final embeddings directly from the ALREADY-materialized mean state —
     // calling forward() here would recompute the same self∪neighbor
     // aggregation a second time (measured: ~40% of the gate query's cost).
-    val cols = (0 until dout).map(j => col(s"f$j"))
-    val n2 = cols.map(c => c * c).reduce(_ + _)
-    val emb = applyWeights(m, w, config.activation)
-      .withColumn("_n", sqrt(n2))
-      .select(col("id"),
-        array(cols.map(c => when(col("_n") > 0.0, c / col("_n"))
-          .otherwise(0.0)): _*).as("embedding"))
+    val emb = normalizedEmbedding(applyWeights(m, w, config.activation), dout)
       .cutLineage() // materialize off m so the mean state can be released
     Lineage.release(m)
     TrainResult(w, losses.toSeq, emb)
@@ -452,7 +475,8 @@ object GraphSage {
 
   /** Exact gradient of the mean unsupervised loss w.r.t. every W_k, by
    *  backprop through the mean-aggregator stack.
-   *  @return (mean loss, sample count, dW per layer — descent direction) */
+   *  @return (mean loss, sample count, dL/dW per layer — the RAW ascent
+   *          gradient; descend with W -= lr·g, as trainLayers does) */
   private[graft] def lossAndGrads(contribs: DataFrame, cnt: DataFrame,
       h0: DataFrame, dims: Seq[Int], ws: Seq[Weights], activation: String,
       samples: DataFrame, sharedM1: Option[DataFrame] = None)
@@ -557,6 +581,20 @@ object GraphSage {
       s"unknown optimizer: ${config.optimizer}")
     val (h0, din) = wide(features, "f")
     val h0c = h0.cutLineage()
+    // enforced, not just documented: the backward pass divides by the FULL
+    // contribution count per node, while the forward avg divides by the
+    // rows present in the feature frame — the gradient is exact only when
+    // the feature ids are EXACTLY the node set (a count-only check would
+    // pass a frame with one id duplicated and one node missing). Counted
+    // on the checkpoint (near-free) + one anti-join for the id-set half.
+    val nodeCount = graph.nodes.count()
+    val featCount = h0c.count()
+    val missing = graph.nodes.select(col("id"))
+      .except(h0c.select(col("id"))).count()
+    require(featCount == nodeCount && missing == 0L,
+      s"features must cover every graph node exactly once: $featCount " +
+        s"feature rows vs $nodeCount nodes, $missing nodes without " +
+        "features (degreeFeatures does)")
     val contribs = contribPairs(graph, config.orientation).cutLineage()
     val cnt = contribs.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).as("cnt")).cutLineage()
@@ -565,20 +603,13 @@ object GraphSage {
     // once, reuse across every step AND the final inference pass
     val m1 = meanAgg(contribs, h0c, (0 until din).map(j => s"f$j"))
       .cutLineage()
+    // h0c is dead from here on — every forward pass (training steps AND
+    // the final inference) runs through sharedM1; holding the checkpoint
+    // pins |V|×d_in of storage for the whole run otherwise
+    Lineage.release(h0c)
 
-    val walks = RandomWalk.run(graph, RandomWalk.Config(
-      steps = config.searchDepth, walksPerNode = 1, seed = config.seed,
-      orientation = config.orientation))
-    val pairs = walks
-      .select(col("walkId"), col("start").as("c"),
-        posexplode(col("path")).as(Seq("pos", "x")))
-      .where(col("pos") > 0 && col("c") =!= col("x"))
-      .cutLineage()
-    Lineage.release(walks)
-    val deg = graph.degrees(config.orientation)
-      .select(col("id").as("node"), col("degree").cast("long").as("f"))
-      .where(col("f") > 0)
-    val table = Node2Vec.unigramTable(deg, config.unigramTableSize, 0.75)
+    val (pairs, table) = trainingSamples(graph, config.searchDepth,
+      config.unigramTableSize, config.seed, config.orientation)
 
     def u01(layer: Int, x: Long): Double = {
       val h = scala.util.hashing.MurmurHash3.productHash((config.seed, layer, x))
@@ -598,22 +629,8 @@ object GraphSage {
     val b = math.max(1, config.batchesPerEpoch)
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (epoch <- 0 until config.epochs; batch <- 0 until b) {
-      val batchPairs = pairs.where(
-        pmod(xxhash64(col("walkId"), col("pos"), lit(epoch),
-          lit(config.seed + 7)), lit(b.toLong)) === batch)
-      val negs =
-        if (config.negativeSamplingRate <= 0) batchPairs.limit(0)
-          .select(col("c"), col("x"), lit(0.0).as("label"))
-        else batchPairs
-          .select(col("walkId"), col("pos"), col("c"),
-            explode(sequence(lit(1), lit(config.negativeSamplingRate))).as("rep"))
-          .select(col("walkId"), col("pos"), col("c"),
-            pmod(xxhash64(col("walkId"), col("pos"), col("rep"), lit(epoch),
-              lit(config.seed + 8)), lit(config.unigramTableSize.toLong)).as("bucket"))
-          .join(broadcast(table), Seq("bucket"))
-          .select(col("c"), col("node").as("x"), lit(0.0).as("label"))
-      val samples = batchPairs.select(col("c"), col("x"), lit(1.0).as("label"))
-        .unionByName(negs)
+      val samples = batchSamples(pairs, table, epoch, batch, b,
+        config.negativeSamplingRate, config.unigramTableSize, config.seed)
       val (meanLoss, n, grads) =
         lossAndGrads(contribs, cnt, h0c, dims, ws.toSeq, config.activation,
           samples, sharedM1 = Some(m1))
@@ -630,9 +647,12 @@ object GraphSage {
           } else ws(k)(i)(j) -= config.learningRate * g
         }
       }
-      losses += meanLoss
+      // empty batch: carry the previous loss, not 0.0 — an empty final
+      // batch would otherwise make losses.last < losses.head spuriously
+      // true (the loss_decreased contract)
+      losses += (if (n > 0L) meanLoss else losses.lastOption.getOrElse(0.0))
       System.err.println(f"[graphsage-layers] epoch=$epoch batch=$batch " +
-        f"samples=$n meanLoss=$meanLoss%.5f")
+        f"samples=$n meanLoss=${losses.last}%.5f")
     }
     Lineage.release(pairs); Lineage.release(table)
     val layers = ws.toSeq.map(w => MeanLayer(w, config.activation))
@@ -640,17 +660,10 @@ object GraphSage {
     // re-deriving the whole stack through forwardLayers
     val (msF, hsF) = forwardStates(contribs, h0c, dims, ws.toSeq,
       config.activation, Some(m1))
-    val dL = dims.last
-    val ecols = (0 until dL).map(j => col(s"f$j"))
-    val n2 = ecols.map(c => c * c).reduce(_ + _)
-    val emb = hsF.last.withColumn("_n", sqrt(n2))
-      .select(col("id"),
-        array(ecols.map(c => when(col("_n") > 0.0, c / col("_n"))
-          .otherwise(0.0)): _*).as("embedding"))
-      .cutLineage()
+    val emb = normalizedEmbedding(hsF.last, dims.last).cutLineage()
     msF.drop(1).foreach(Lineage.release); hsF.foreach(Lineage.release)
     Lineage.release(m1); Lineage.release(cnt)
-    Lineage.release(contribs); Lineage.release(h0c)
+    Lineage.release(contribs)
     TrainLayersResult(layers, losses.toSeq, emb)
   }
 }
