@@ -101,10 +101,16 @@ object GdsApp {
                     sys.error(s"--layers expects comma-separated ints, got '$spec'")))
                 if (dimsParsed.isEmpty)
                   sys.error(s"--layers expects comma-separated ints, got '$spec'")
+                val sampled = opts2.get("samples").map(_.split(',')
+                  .map(_.trim).filter(_.nonEmpty).map(d => d.toIntOption
+                    .getOrElse(sys.error(
+                      s"--samples expects comma-separated ints, got '$d'")))
+                  .toSeq).getOrElse(Seq.empty)
                 graft.pipeline.GraphSage.trainLayers(g, feats,
                   graft.pipeline.GraphSage.TrainLayersConfig(
                     layerDims = dimsParsed.toSeq,
                     activation = opts2.getOrElse("activation", "sigmoid"),
+                    sampleSizes = sampled,
                     epochs = opts2.getOrElse("epochs", "5").toInt)).embeddings
               case None =>
                 graft.pipeline.GraphSage.train(g, feats,

@@ -33,9 +33,11 @@ import org.apache.spark.sql.functions._
  * verified). `forwardLayers` runs inference stacks over stored weights
  * with BOTH reference aggregators (mean and max-pooling), and weights
  * live in the [[graft.core.ModelCatalog]] contract as embedding-producing
- * models. Draws are xxhash64-deterministic like Node2Vec/FastRP. The
- * remaining documented substitution: full-neighborhood means instead of
- * the reference's sampled neighborhoods (sampleSizes).
+ * models. Draws are xxhash64-deterministic like Node2Vec/FastRP.
+ * trainLayers supports full neighborhoods (default) AND the reference's
+ * sampleSizes per-layer sampled subgraphs; the remaining documented
+ * substitution is that sampling is drawn once per run, not once per
+ * batch (keeps the objective fixed and the draws reproducible).
  */
 object GraphSage {
 
@@ -270,6 +272,27 @@ object GraphSage {
       .unionByName(negs)
   }
 
+  /** Deterministic uniform neighbor sample for one layer: keep the self
+   *  pair always, plus the `s` neighbors with smallest xxhash64(src, dst,
+   *  layer, seed) per dst — the reference's sampleSizes semantics
+   *  (NeighborhoodSampler / GraphSageHelper.subGraphsPerLayer), with the
+   *  per-thread RNG swapped for a hash-rank draw (reproducible at any
+   *  parallelism, like every other draw here). Sampled ONCE per run, not
+   *  per batch — a documented substitution that keeps the objective fixed
+   *  across steps and the first-layer mean state shareable. */
+  private[graft] def sampledContribs(contribs: DataFrame, s: Int, layer: Int,
+      seed: Long): DataFrame = {
+    val nbrs = contribs.where(col("src") =!= col("dst"))
+    // src as tiebreak: a hash collision must not make the sample depend
+    // on row arrival order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dst")
+      .orderBy(xxhash64(col("src"), col("dst"), lit(layer), lit(seed)),
+        col("src"))
+    nbrs.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= s).drop("_rk")
+      .unionByName(contribs.where(col("src") === col("dst")))
+  }
+
   /** L2-normalize wide columns f0..f{dim−1} into (id, embedding);
    *  all-zero rows map to the zero vector. */
   private def normalizedEmbedding(h: DataFrame, dim: Int): DataFrame = {
@@ -382,16 +405,18 @@ object GraphSage {
   // layer costs exactly one forward meanState: a join + fixed-width agg.
   // W_k gradients are d_out×d_in sum columns (one wide aggregation per
   // layer), and the optimizer state lives driver-side with the small
-  // matrices. Gradients are EXACT (verified against central finite
-  // differences in GraphSageSpec); the remaining documented substitution
-  // vs the reference is full-neighborhood means instead of sampled
-  // neighborhoods (sampleSizes) — deterministic, and the sampled variant's
-  // estimator converges to it.
+  // matrices. Gradients are EXACT for the configured objective — full
+  // neighborhoods or the reference's sampleSizes sampled subgraphs —
+  // verified against central finite differences in GraphSageSpec for
+  // both. Remaining documented substitution: neighborhoods are sampled
+  // once per run (hash-rank draw), not re-sampled per batch.
   // ------------------------------------------------------------------
 
   final case class TrainLayersConfig(
       layerDims: Seq[Int] = Seq(16, 16),
       activation: String = "sigmoid",   // the reference's default
+      sampleSizes: Seq[Int] = Seq.empty, // per-layer neighbor sample caps;
+                                         // empty = full neighborhoods
       epochs: Int = 5,
       batchesPerEpoch: Int = 1,
       learningRate: Double = 0.05,
@@ -427,7 +452,7 @@ object GraphSage {
    *  training loop computes it once and reuses it every step (at scale
    *  it is the job's single largest aggregation); when supplied it is
    *  used as ms(0) and must not be released by the per-step caller. */
-  private def forwardStates(contribs: DataFrame, h0: DataFrame,
+  private def forwardStates(contribsPerLayer: Seq[DataFrame], h0: DataFrame,
       dims: Seq[Int], ws: Seq[Weights], activation: String,
       sharedM1: Option[DataFrame] = None)
       : (Vector[DataFrame], Vector[DataFrame]) = {
@@ -437,7 +462,7 @@ object GraphSage {
     for ((w, k) <- ws.zipWithIndex) {
       val m =
         if (k == 0 && sharedM1.isDefined) sharedM1.get
-        else meanAgg(contribs, h, (0 until dims(k)).map(j => s"f$j"))
+        else meanAgg(contribsPerLayer(k), h, (0 until dims(k)).map(j => s"f$j"))
           .cutLineage()
       val hNext = applyWeights(m, w, activation).cutLineage()
       ms :+= m
@@ -450,12 +475,13 @@ object GraphSage {
   /** Mean unsupervised loss of the current stack on `samples`
    *  (c, x, label) — one lazy plan, one action. Used by the
    *  finite-difference gradient check. */
-  private[graft] def lossOnly(contribs: DataFrame, h0: DataFrame,
+  private[graft] def lossOnly(contribsPerLayer: Seq[DataFrame], h0: DataFrame,
       dims: Seq[Int], ws: Seq[Weights], activation: String,
       samples: DataFrame): Double = {
     var h = h0
     for ((w, k) <- ws.zipWithIndex)
-      h = applyWeights(meanAgg(contribs, h, (0 until dims(k)).map(j => s"f$j")),
+      h = applyWeights(
+        meanAgg(contribsPerLayer(k), h, (0 until dims(k)).map(j => s"f$j")),
         w, activation)
     val dL = ws.last.length
     val ecols = (0 until dL).map(j => s"f$j")
@@ -477,12 +503,14 @@ object GraphSage {
    *  backprop through the mean-aggregator stack.
    *  @return (mean loss, sample count, dL/dW per layer — the RAW ascent
    *          gradient; descend with W -= lr·g, as trainLayers does) */
-  private[graft] def lossAndGrads(contribs: DataFrame, cnt: DataFrame,
+  private[graft] def lossAndGrads(contribsPerLayer: Seq[DataFrame],
+      cntPerLayer: Seq[DataFrame],
       h0: DataFrame, dims: Seq[Int], ws: Seq[Weights], activation: String,
       samples: DataFrame, sharedM1: Option[DataFrame] = None)
       : (Double, Long, Seq[Weights]) = {
     val L = ws.length
-    val (ms, hs) = forwardStates(contribs, h0, dims, ws, activation, sharedM1)
+    val (ms, hs) =
+      forwardStates(contribsPerLayer, h0, dims, ws, activation, sharedM1)
     def releaseStates(): Unit = {
       // ms(0) may be the caller's shared first-layer mean state
       ms.drop(if (sharedM1.isDefined) 1 else 0).foreach(Lineage.release)
@@ -545,14 +573,16 @@ object GraphSage {
       }
       if (k > 0) {
         // δm = W_kᵀ·δa; backward through the mean = transposed scatter
-        // over the SAME contribution pairs (self-loop included), each
+        // over the SAME (possibly sampled) contribution pairs this
+        // layer's forward averaged over (self-loop included), each
         // weighted by the receiver's 1/cnt — then re-aggregate per src.
-        val wdelta = da.join(cnt, Seq("id"))
+        val wdelta = da.join(cntPerLayer(k), Seq("id"))
           .select(col("id") +: (0 until dinK).map { j =>
             ((0 until dout).map(i => col(s"a$i") * ws(k)(i)(j))
               .reduce(_ + _) / col("cnt")).as(s"d$j")
           }: _*)
-        dh = contribs.join(wdelta.withColumnRenamed("id", "dst"), Seq("dst"))
+        dh = contribsPerLayer(k)
+          .join(wdelta.withColumnRenamed("id", "dst"), Seq("dst"))
           .select(col("src").as("id") +:
             (0 until dinK).map(j => col(s"d$j")): _*)
           .groupBy("id")
@@ -595,13 +625,32 @@ object GraphSage {
       s"features must cover every graph node exactly once: $featCount " +
         s"feature rows vs $nodeCount nodes, $missing nodes without " +
         "features (degreeFeatures does)")
-    val contribs = contribPairs(graph, config.orientation).cutLineage()
-    val cnt = contribs.groupBy(col("dst").as("id"))
-      .agg(count(lit(1)).as("cnt")).cutLineage()
+    require(config.sampleSizes.isEmpty ||
+      (config.sampleSizes.length == config.layerDims.length &&
+        config.sampleSizes.forall(_ > 0)),
+      s"sampleSizes must be empty (full neighborhoods) or one positive " +
+        s"cap per layer: got ${config.sampleSizes} for " +
+        s"${config.layerDims.length} layers")
+    val fullContribs = contribPairs(graph, config.orientation).cutLineage()
+    val nLayers = config.layerDims.length
+    // per-layer contribution pairs: the full set, or the reference's
+    // sampleSizes subgraphs (deterministic hash-rank sample, self kept)
+    val layerContribs: Seq[DataFrame] =
+      if (config.sampleSizes.isEmpty) Seq.fill(nLayers)(fullContribs)
+      else config.sampleSizes.zipWithIndex.map { case (s, k) =>
+        sampledContribs(fullContribs, s, k, config.seed + 9).cutLineage()
+      }
+    val layerCnts: Seq[DataFrame] =
+      if (config.sampleSizes.isEmpty) {
+        val cnt = fullContribs.groupBy(col("dst").as("id"))
+          .agg(count(lit(1)).as("cnt")).cutLineage()
+        Seq.fill(nLayers)(cnt)
+      } else layerContribs.map(c => c.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("cnt")).cutLineage())
     val dims = din +: config.layerDims
     // the first layer's mean state never changes (h0 is fixed): compute
     // once, reuse across every step AND the final inference pass
-    val m1 = meanAgg(contribs, h0c, (0 until din).map(j => s"f$j"))
+    val m1 = meanAgg(layerContribs.head, h0c, (0 until din).map(j => s"f$j"))
       .cutLineage()
     // h0c is dead from here on — every forward pass (training steps AND
     // the final inference) runs through sharedM1; holding the checkpoint
@@ -632,8 +681,8 @@ object GraphSage {
       val samples = batchSamples(pairs, table, epoch, batch, b,
         config.negativeSamplingRate, config.unigramTableSize, config.seed)
       val (meanLoss, n, grads) =
-        lossAndGrads(contribs, cnt, h0c, dims, ws.toSeq, config.activation,
-          samples, sharedM1 = Some(m1))
+        lossAndGrads(layerContribs, layerCnts, h0c, dims, ws.toSeq,
+          config.activation, samples, sharedM1 = Some(m1))
       if (n > 0L) {
         t += 1
         for (k <- ws.indices; i <- ws(k).indices; j <- ws(k)(i).indices) {
@@ -656,14 +705,16 @@ object GraphSage {
     }
     Lineage.release(pairs); Lineage.release(table)
     val layers = ws.toSeq.map(w => MeanLayer(w, config.activation))
-    // final embeddings reuse the shared first-layer mean state instead of
+    // final embeddings reuse the shared first-layer mean state (and the
+    // same per-layer neighborhoods the model was trained on) instead of
     // re-deriving the whole stack through forwardLayers
-    val (msF, hsF) = forwardStates(contribs, h0c, dims, ws.toSeq,
+    val (msF, hsF) = forwardStates(layerContribs, h0c, dims, ws.toSeq,
       config.activation, Some(m1))
     val emb = normalizedEmbedding(hsF.last, dims.last).cutLineage()
     msF.drop(1).foreach(Lineage.release); hsF.foreach(Lineage.release)
-    Lineage.release(m1); Lineage.release(cnt)
-    Lineage.release(contribs)
+    Lineage.release(m1)
+    (layerCnts :+ fullContribs).distinct.foreach(Lineage.release)
+    layerContribs.distinct.filterNot(_ eq fullContribs).foreach(Lineage.release)
     TrainLayersResult(layers, losses.toSeq, emb)
   }
 }

@@ -143,9 +143,11 @@ class GraphSageSpec extends SparkSpec {
     val ws: Seq[GraphSage.Weights] = Seq(
       Array(Array(0.4, -0.3), Array(0.25, 0.6), Array(-0.5, 0.2)),
       Array(Array(0.3, -0.2, 0.5), Array(-0.4, 0.6, 0.1)))
+    val cs = Seq.fill(2)(contribs)
+    val cnts = Seq.fill(2)(cnt)
     for (act <- Seq("sigmoid", "relu", "identity")) {
       val (_, n, grads) =
-        GraphSage.lossAndGrads(contribs, cnt, h0, dims, ws, act, samples)
+        GraphSage.lossAndGrads(cs, cnts, h0, dims, ws, act, samples)
       assert(n === 7)
       val eps = 1e-5
       for (k <- ws.indices; i <- ws(k).indices; j <- ws(k)(i).indices) {
@@ -154,14 +156,84 @@ class GraphSageSpec extends SparkSpec {
           c(k)(i)(j) += delta
           c
         }
-        val up = GraphSage.lossOnly(contribs, h0, dims, perturbed(eps), act, samples)
-        val dn = GraphSage.lossOnly(contribs, h0, dims, perturbed(-eps), act, samples)
+        val up = GraphSage.lossOnly(cs, h0, dims, perturbed(eps), act, samples)
+        val dn = GraphSage.lossOnly(cs, h0, dims, perturbed(-eps), act, samples)
         val fd = (up - dn) / (2 * eps)
         val an = grads(k)(i)(j)
         assert(math.abs(fd - an) <= 1e-4 * math.max(1.0, math.abs(fd)),
           s"$act W($k)($i)($j): analytic $an vs finite-difference $fd")
       }
     }
+  }
+
+  test("sampled-neighborhood gradients match finite differences of the sampled objective") {
+    // sampleSizes semantics: per-layer sampled subgraphs; forward AND
+    // backward must use the same sampled pair set or the gradient is
+    // inexact — the FD check catches any mismatch.
+    val g = graphOf(6, Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L), (1L, 5L)))
+    val f = feats(0L -> Seq(0.5, -0.2), 1L -> Seq(0.1, 0.7),
+      2L -> Seq(-0.3, 0.4), 3L -> Seq(0.9, -0.6), 4L -> Seq(0.2, 0.2),
+      5L -> Seq(-0.7, 0.3))
+    val h0 = f.select(col("id"), col("features")(0).as("f0"),
+      col("features")(1).as("f1"))
+    val full = GraphSage.contribPairs(g, Orientation.Undirected)
+    // layer 0 capped at 2 neighbors, layer 1 at 1 — node 0 has degree 5,
+    // so the caps genuinely bite
+    val cs = Seq(
+      GraphSage.sampledContribs(full, 2, 0, 99L),
+      GraphSage.sampledContribs(full, 1, 1, 99L))
+    val cnts = cs.map(c => c.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("cnt")))
+    // caps hold: ≤ s neighbors + the self pair per dst
+    val maxCnt = cnts.head.agg(max(col("cnt"))).head().getLong(0)
+    assert(maxCnt <= 3, s"layer-0 sample cap violated: $maxCnt")
+    assert(cnts(1).agg(max(col("cnt"))).head().getLong(0) <= 2)
+    val samples = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 4L, 0.0),
+      (3L, 0L, 1.0), (5L, 2L, 0.0)).toDF("c", "x", "label")
+    val dims = Seq(2, 3, 2)
+    val ws: Seq[GraphSage.Weights] = Seq(
+      Array(Array(0.4, -0.3), Array(0.25, 0.6), Array(-0.5, 0.2)),
+      Array(Array(0.3, -0.2, 0.5), Array(-0.4, 0.6, 0.1)))
+    val (_, n, grads) =
+      GraphSage.lossAndGrads(cs, cnts, h0, dims, ws, "sigmoid", samples)
+    assert(n === 5)
+    val eps = 1e-5
+    for (k <- ws.indices; i <- ws(k).indices; j <- ws(k)(i).indices) {
+      def perturbed(delta: Double): Seq[GraphSage.Weights] = {
+        val c = ws.map(_.map(_.clone()))
+        c(k)(i)(j) += delta
+        c
+      }
+      val up = GraphSage.lossOnly(cs, h0, dims, perturbed(eps), "sigmoid", samples)
+      val dn = GraphSage.lossOnly(cs, h0, dims, perturbed(-eps), "sigmoid", samples)
+      val fd = (up - dn) / (2 * eps)
+      val an = grads(k)(i)(j)
+      assert(math.abs(fd - an) <= 1e-4 * math.max(1.0, math.abs(fd)),
+        s"sampled W($k)($i)($j): analytic $an vs finite-difference $fd")
+    }
+  }
+
+  test("trainLayers with sampleSizes trains and stays partition-reproducible") {
+    val c1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val c2 = for (a <- 5L to 9L; b <- 5L to 9L if a < b) yield (a, b)
+    val g = graphOf(10, c1 ++ c2 ++ Seq((4L, 5L)))
+    val cfg = GraphSage.TrainLayersConfig(layerDims = Seq(4, 4),
+      activation = "sigmoid", sampleSizes = Seq(2, 2), epochs = 6,
+      learningRate = 0.05, negativeSamplingRate = 1, searchDepth = 3,
+      unigramTableSize = 256)
+    val res = GraphSage.trainLayers(g, GraphSage.degreeFeatures(g, normalized = true), cfg)
+    assert(res.losses.size === 6)
+    assert(res.losses.last < res.losses.head,
+      s"sampled loss did not descend: ${res.losses}")
+    val g2 = PropertyGraph(g.nodes.repartition(3), g.edges.repartition(5))
+    val res2 = GraphSage.trainLayers(g2,
+      GraphSage.degreeFeatures(g2, normalized = true), cfg)
+    for (k <- res.layers.indices; i <- res.layers(k).weights.indices;
+         j <- res.layers(k).weights(i).indices)
+      assert(math.abs(res.layers(k).weights(i)(j) -
+        res2.layers(k).weights(i)(j)) <= 1e-6,
+        s"sampled W($k)($i)($j) differs across partitionings")
   }
 
   test("trainLayers: 2-layer sigmoid stack with Adam descends the loss") {
