@@ -64,6 +64,38 @@ class ModelCatalogSpec extends SparkSpec with BeforeAndAfterEach {
     assert(rows === Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0)))
   }
 
+  test("a multi-layer GraphSage train stores, saves and reloads through the catalog") {
+    val g = graphOf(5, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L)))
+    val res = graft.pipeline.GraphSage.trainLayers(g,
+      graft.pipeline.GraphSage.degreeFeatures(g, normalized = true),
+      graft.pipeline.GraphSage.TrainLayersConfig(layerDims = Seq(3, 2),
+        activation = "relu", sampleSizes = Seq(2, 1), epochs = 2,
+        unigramTableSize = 64))
+    // weights serialize into the train-config contract (small driver-side
+    // matrices — the embedding frame is the model DATA)
+    val wJson = res.layers.zipWithIndex.map { case (l, k) =>
+      s"layer$k" -> l.weights.map(_.mkString(",")).mkString(";")
+    }.toMap
+    val m = ModelCatalog.store("alice", "sage2", "graphsage", res.embeddings,
+      wJson ++ Map("activation" -> "relu", "layerDims" -> "3,2",
+        "sampleSizes" -> "2,1"))
+    val dir = java.nio.file.Files.createTempDirectory("modelcat").toString + "/m"
+    ModelCatalog.save(m, dir)
+    val loaded = ModelCatalog.load(spark, dir)
+    assert(loaded.algoType === "graphsage")
+    assert(loaded.trainConfig("layerDims") === "3,2")
+    assert(loaded.trainConfig("sampleSizes") === "2,1")
+    // weights roundtrip value-exactly through the JSON sidecar
+    val w0 = loaded.trainConfig("layer0").split(";").map(_.split(",").map(_.toDouble))
+    assert(w0.length === 3 && w0.head.length === 2)
+    for (i <- 0 until 3; j <- 0 until 2)
+      assert(w0(i)(j) === res.layers.head.weights(i)(j))
+    assert(loaded.data.count() === 5L)
+    assert(loaded.data.select(size(col("embedding"))).distinct()
+      .head().getInt(0) === 2)
+    ModelCatalog.drop("alice", "sage2")
+  }
+
   test("a trained Node2Vec run stores and streams back through the catalog") {
     val g = graphOf(4, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
     val emb = graft.pipeline.Node2Vec.run(g, graft.pipeline.Node2Vec.Config(
