@@ -113,6 +113,9 @@ object GdsApp {
                     sampleSizes = sampled,
                     epochs = opts2.getOrElse("epochs", "5").toInt)).embeddings
               case None =>
+                if (opts2.contains("samples"))
+                  sys.error("--samples requires --layers (the single-layer " +
+                    "fast path always uses full neighborhoods)")
                 graft.pipeline.GraphSage.train(g, feats,
                   graft.pipeline.GraphSage.Config(
                     embeddingSize = opts2.getOrElse("dim", "16").toInt,

@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions._
  * live in the [[graft.core.ModelCatalog]] contract as embedding-producing
  * models. Draws are xxhash64-deterministic like Node2Vec/FastRP.
  * trainLayers supports full neighborhoods (default) AND the reference's
- * sampleSizes per-layer sampled subgraphs; the remaining documented
- * substitution is that sampling is drawn once per run, not once per
- * batch (keeps the objective fixed and the draws reproducible).
+ * sampleSizes per-layer sampled subgraphs; a sampled model streams back
+ * through forwardLayers(sampleSizes, sampleSeed = train seed) over
+ * bit-identical subgraphs. The remaining documented substitution is
+ * that sampling is drawn once per run, not once per batch (keeps the
+ * objective fixed and the draws reproducible).
  */
 object GraphSage {
 
@@ -153,18 +155,33 @@ object GraphSage {
    * aggregation; output L2-normalized.
    * @return (id, embedding: array<double>)
    */
+  /** `sampleSizes` + `sampleSeed` reproduce a model trained with sampled
+   *  neighborhoods at inference time: pass the SAME values the train
+   *  config used and the per-layer subgraphs are bit-identical (the
+   *  draw is a pure hash of (src, dst, layer, seed)). Only mean layers
+   *  support sampling — the reference's pooling aggregator is inference-
+   *  only here and always runs over full neighborhoods. */
   def forwardLayers(graph: PropertyGraph, features: DataFrame,
       layers: Seq[Layer],
-      orientation: Orientation = Orientation.Undirected): DataFrame = {
+      orientation: Orientation = Orientation.Undirected,
+      sampleSizes: Seq[Int] = Seq.empty,
+      sampleSeed: Long = 42L): DataFrame = {
+    require(sampleSizes.isEmpty || (sampleSizes.length == layers.length &&
+      layers.forall(_.isInstanceOf[MeanLayer])),
+      s"sampleSizes must be empty or one cap per layer, mean layers only")
+    lazy val full = contribPairs(graph, orientation)
     var (h, dim) = wide(features, "f")
     h = h.cutLineage()
-    for (layer <- layers) {
+    for ((layer, k) <- layers.zipWithIndex) {
       require(layer.inDim == dim,
         s"layer expects d_in=${layer.inDim}, state has $dim")
       val next = (layer match {
         case MeanLayer(w, act) =>
-          val m = meanState(graph, h, (0 until dim).map(j => s"f$j"), orientation)
-          applyWeights(m, w, act)
+          val contribs =
+            if (sampleSizes.isEmpty) full
+            else sampledContribs(full, sampleSizes(k), k, sampleSeed)
+          applyWeights(
+            meanAgg(contribs, h, (0 until dim).map(j => s"f$j")), w, act)
         case p: PoolLayer => applyPool(graph, h, dim, p, orientation)
       }).cutLineage()
       Lineage.release(h)
@@ -282,14 +299,24 @@ object GraphSage {
    *  across steps and the first-layer mean state shareable. */
   private[graft] def sampledContribs(contribs: DataFrame, s: Int, layer: Int,
       seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the s globally-smallest hashes per dst, in TWO bounded stages: a
+    // single row_number window per dst would sort a hub's entire
+    // neighbor list in one task (the skew the salted-join utilities
+    // exist for); stage 1 keeps each (dst, salt)-group's s smallest —
+    // 64-way parallel over a hub — so stage 2 ranks at most 64·s
+    // survivors per dst. Exact: every global top-s row is its salt
+    // group's top-s. src as tiebreak: a hash collision must not make
+    // the sample depend on row arrival order.
     val nbrs = contribs.where(col("src") =!= col("dst"))
-    // src as tiebreak: a hash collision must not make the sample depend
-    // on row arrival order
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("dst")
-      .orderBy(xxhash64(col("src"), col("dst"), lit(layer), lit(seed)),
-        col("src"))
-    nbrs.withColumn("_rk", row_number().over(w))
-      .where(col("_rk") <= s).drop("_rk")
+      .withColumn("_h", xxhash64(col("src"), col("dst"), lit(layer), lit(seed)))
+      .withColumn("_salt", pmod(xxhash64(col("src"), lit(layer), lit(seed + 1)), lit(64L)))
+    val w1 = Window.partitionBy(col("dst"), col("_salt"))
+      .orderBy(col("_h"), col("src"))
+    val w2 = Window.partitionBy(col("dst")).orderBy(col("_h"), col("src"))
+    nbrs.withColumn("_rk", row_number().over(w1)).where(col("_rk") <= s)
+      .withColumn("_rk2", row_number().over(w2)).where(col("_rk2") <= s)
+      .drop("_h", "_salt", "_rk", "_rk2")
       .unionByName(contribs.where(col("src") === col("dst")))
   }
 
@@ -609,6 +636,13 @@ object GraphSage {
     require(config.layerDims.nonEmpty, "layerDims must name ≥1 layer")
     require(Set("adam", "sgd")(config.optimizer),
       s"unknown optimizer: ${config.optimizer}")
+    // pure driver-side config checks fire BEFORE any Spark action
+    require(config.sampleSizes.isEmpty ||
+      (config.sampleSizes.length == config.layerDims.length &&
+        config.sampleSizes.forall(_ > 0)),
+      s"sampleSizes must be empty (full neighborhoods) or one positive " +
+        s"cap per layer: got ${config.sampleSizes} for " +
+        s"${config.layerDims.length} layers")
     val (h0, din) = wide(features, "f")
     val h0c = h0.cutLineage()
     // enforced, not just documented: the backward pass divides by the FULL
@@ -625,28 +659,32 @@ object GraphSage {
       s"features must cover every graph node exactly once: $featCount " +
         s"feature rows vs $nodeCount nodes, $missing nodes without " +
         "features (degreeFeatures does)")
-    require(config.sampleSizes.isEmpty ||
-      (config.sampleSizes.length == config.layerDims.length &&
-        config.sampleSizes.forall(_ > 0)),
-      s"sampleSizes must be empty (full neighborhoods) or one positive " +
-        s"cap per layer: got ${config.sampleSizes} for " +
-        s"${config.layerDims.length} layers")
     val fullContribs = contribPairs(graph, config.orientation).cutLineage()
     val nLayers = config.layerDims.length
     // per-layer contribution pairs: the full set, or the reference's
     // sampleSizes subgraphs (deterministic hash-rank sample, self kept)
+    // sampled with config.seed itself (not a salted derivative) so
+    // forwardLayers(sampleSizes, sampleSeed = config.seed) reproduces the
+    // trained subgraphs exactly at inference time
     val layerContribs: Seq[DataFrame] =
       if (config.sampleSizes.isEmpty) Seq.fill(nLayers)(fullContribs)
       else config.sampleSizes.zipWithIndex.map { case (s, k) =>
-        sampledContribs(fullContribs, s, k, config.seed + 9).cutLineage()
+        sampledContribs(fullContribs, s, k, config.seed).cutLineage()
       }
     val layerCnts: Seq[DataFrame] =
       if (config.sampleSizes.isEmpty) {
         val cnt = fullContribs.groupBy(col("dst").as("id"))
           .agg(count(lit(1)).as("cnt")).cutLineage()
         Seq.fill(nLayers)(cnt)
-      } else layerContribs.map(c => c.groupBy(col("dst").as("id"))
-        .agg(count(lit(1)).as("cnt")).cutLineage())
+      } else {
+        val cnts = layerContribs.map(c => c.groupBy(col("dst").as("id"))
+          .agg(count(lit(1)).as("cnt")).cutLineage())
+        // in the sampled path the full pair set is dead once the (much
+        // smaller) per-layer subgraphs exist — same storage-pinning fix
+        // as h0c below
+        Lineage.release(fullContribs)
+        cnts
+      }
     val dims = din +: config.layerDims
     // the first layer's mean state never changes (h0 is fixed): compute
     // once, reuse across every step AND the final inference pass

@@ -236,6 +236,34 @@ class GraphSageSpec extends SparkSpec {
         s"sampled W($k)($i)($j) differs across partitionings")
   }
 
+  test("forwardLayers with the train seed reproduces sampled-trained embeddings") {
+    // the stored-model contract: a model trained with sampleSizes streams
+    // back through forwardLayers(sampleSizes, sampleSeed = train seed)
+    // over bit-identical per-layer subgraphs
+    val g = graphOf(8, Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 0L), (1L, 5L), (2L, 6L)))
+    val cfg = GraphSage.TrainLayersConfig(layerDims = Seq(3, 2),
+      activation = "sigmoid", sampleSizes = Seq(2, 1), epochs = 2,
+      unigramTableSize = 64, seed = 7L)
+    val feats = GraphSage.degreeFeatures(g, normalized = true)
+    val res = GraphSage.trainLayers(g, feats, cfg)
+    val trained = res.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val streamed = GraphSage.forwardLayers(g, feats, res.layers,
+      Orientation.Undirected, cfg.sampleSizes, cfg.seed).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(trained.keySet === streamed.keySet)
+    for (id <- trained.keySet; (a, b) <- trained(id).zip(streamed(id)))
+      assert(math.abs(a - b) <= 1e-9, s"node $id: trained $a vs streamed $b")
+    // and WITHOUT the sample config the full-neighborhood stream diverges
+    // (the silent-mismatch this contract exists to prevent)
+    val fullStream = GraphSage.forwardLayers(g, feats, res.layers).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(trained.keySet.exists(id =>
+      trained(id).zip(fullStream(id)).exists { case (a, b) => math.abs(a - b) > 1e-6 }),
+      "full-neighborhood stream unexpectedly matched the sampled model")
+  }
+
   test("trainLayers: 2-layer sigmoid stack with Adam descends the loss") {
     val c1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
     val c2 = for (a <- 5L to 9L; b <- 5L to 9L if a < b) yield (a, b)
